@@ -1,0 +1,189 @@
+"""The flagship end-to-end TDOA pipeline: decode → detect → correlate → solve.
+
+One jit-compiled program replaces the reference's entire multi-process hot
+path (buoy FFT detection `buoy_node.py:357-469`, central correlation
+`central_processor.py:363-397`, TDoA measurement + BFGS solve
+`tdoa_processor.py:146-328`):
+
+    uint8 IQ [..., B, 2N]                       (host ingest / HBM)
+      → complex64 decode                         (ops.iq)
+      → per-buoy PSD + top-K peak detection      (ops.detect)
+      → all-pairs gated GCC-PHAT + sub-sample τ  (ops.gcc_phat)
+      → confidence-weighted LM hyperbolic solve  (solver)
+      → ENU fix + quality metrics
+
+All leading dims are batch dims: ``[channels, B, N]`` runs every monitored
+channel simultaneously (replacing the reference's 35 s serial scan), and the
+same jitted function vmaps/shards over channels, time windows and hosts (see
+:mod:`radio_mapper_tpu.parallel`).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from radio_mapper_tpu import constants, solver
+from radio_mapper_tpu.ops import detect as detect_ops
+from radio_mapper_tpu.ops import gcc_phat as gcc_ops
+from radio_mapper_tpu.ops import iq as iq_ops
+
+
+@dataclasses.dataclass(frozen=True)
+class PipelineConfig:
+    """Static (compile-time) pipeline configuration."""
+
+    num_buoys: int = 4
+    block_len: int = 16_384
+    sample_rate_hz: float = constants.DEFAULT_SAMPLE_RATE_HZ
+    max_lag: int = 512  # ≥ max baseline / c · fs (50 km ⇒ ~342 @ 2.048 MS/s)
+    max_peaks: int = 8
+    weighting: str = "phat"
+    gcc_eps: float = 0.05
+    detection_threshold_db: float = constants.DEFAULT_DETECTION_THRESHOLD_DBM
+    power_offset_db: float = 0.0
+    solve_2d: bool = True
+    solver_iterations: int = 40
+    solver_starts: int = 1  # >1 enables multi-start
+    # Pair weight = min(conf_i, conf_j) · clip((psr − psr_floor)/psr_scale)
+    psr_floor: float = 1.2
+    psr_scale: float = 2.0
+
+    def validate(self) -> "PipelineConfig":
+        if self.max_lag >= self.block_len:
+            raise ValueError("max_lag must be smaller than block_len")
+        if self.num_buoys < 2:
+            raise ValueError("need at least 2 receivers")
+        return self
+
+    @property
+    def num_pairs(self) -> int:
+        return self.num_buoys * (self.num_buoys - 1) // 2
+
+
+class PipelineOutput(NamedTuple):
+    peaks: detect_ops.PeakSet  # per-buoy detections [..., B, K]
+    correlation: gcc_ops.CorrelationPeak  # per-pair TDOA [..., P]
+    pair_weights: jnp.ndarray  # [..., P]
+    fix: solver.SolveResult  # [...]-batched position solution
+    buoy_confidence: jnp.ndarray  # [..., B] strongest-peak confidence
+
+
+class TDOAPipeline:
+    """Builds jit-compiled step functions for a fixed static configuration."""
+
+    def __init__(self, config: PipelineConfig):
+        self.config = config.validate()
+        i_idx, j_idx = gcc_ops.pair_indices(config.num_buoys)
+        self.pair_i = jnp.asarray(i_idx)
+        self.pair_j = jnp.asarray(j_idx)
+
+    # -- stages ---------------------------------------------------------
+
+    def detect(self, iq: jnp.ndarray) -> detect_ops.PeakSet:
+        c = self.config
+        return detect_ops.detect_signals(
+            iq,
+            sample_rate_hz=c.sample_rate_hz,
+            max_peaks=c.max_peaks,
+            power_offset_db=c.power_offset_db,
+            threshold_db=c.detection_threshold_db,
+        )
+
+    def correlate(self, iq: jnp.ndarray) -> gcc_ops.CorrelationPeak:
+        c = self.config
+        return gcc_ops.gcc_phat_all_pairs(
+            iq,
+            sample_rate_hz=c.sample_rate_hz,
+            max_lag=c.max_lag,
+            weighting=c.weighting,
+            eps=c.gcc_eps,
+        )
+
+    def pair_weights(
+        self, peaks: detect_ops.PeakSet, corr: gcc_ops.CorrelationPeak
+    ) -> jnp.ndarray:
+        """Confidence-based pair weighting (generalizes `tdoa_processor.py:179-198`)."""
+        c = self.config
+        buoy_conf = jnp.max(
+            jnp.where(peaks.valid, peaks.confidence, 0.0), axis=-1
+        )  # [..., B]
+        conf_i = jnp.take(buoy_conf, self.pair_i, axis=-1)
+        conf_j = jnp.take(buoy_conf, self.pair_j, axis=-1)
+        psr_q = jnp.clip((corr.psr - c.psr_floor) / c.psr_scale, 0.0, 1.0)
+        return jnp.minimum(conf_i, conf_j) * psr_q
+
+    def solve(
+        self,
+        anchors_enu: jnp.ndarray,
+        corr: gcc_ops.CorrelationPeak,
+        weights: jnp.ndarray,
+    ) -> solver.SolveResult:
+        c = self.config
+        dd = solver.tau_to_distance_difference(corr.tau_s)
+        fn = (
+            functools.partial(solver.solve_tdoa_multistart, num_starts=c.solver_starts)
+            if c.solver_starts > 1
+            else solver.solve_tdoa
+        )
+        return fn(
+            anchors_enu,
+            self.pair_i,
+            self.pair_j,
+            dd,
+            weights,
+            solve_2d=c.solve_2d,
+            iterations=c.solver_iterations,
+        )
+
+    # -- full steps -----------------------------------------------------
+
+    def step(self, iq: jnp.ndarray, anchors_enu: jnp.ndarray) -> PipelineOutput:
+        """Full pipeline on complex IQ ``[..., B, N]``, anchors ``[..., B, 3]``."""
+        peaks = self.detect(iq)
+        corr = self.correlate(iq)
+        weights = self.pair_weights(peaks, corr)
+        fix = self.solve(anchors_enu, corr, weights)
+        buoy_conf = jnp.max(jnp.where(peaks.valid, peaks.confidence, 0.0), axis=-1)
+        return PipelineOutput(
+            peaks=peaks,
+            correlation=corr,
+            pair_weights=weights,
+            fix=fix,
+            buoy_confidence=buoy_conf,
+        )
+
+    def step_uint8(self, raw: jnp.ndarray, anchors_enu: jnp.ndarray) -> PipelineOutput:
+        """Pipeline from raw interleaved uint8 bytes ``[..., B, 2N]``."""
+        return self.step(iq_ops.decode_uint8_iq(raw), anchors_enu)
+
+    def jit_step(self):
+        return jax.jit(self.step)
+
+    def jit_step_uint8(self):
+        return jax.jit(self.step_uint8)
+
+    # -- example inputs (for AOT compile checks and benches) -------------
+
+    def example_inputs(self, *, batch: tuple = (), seed: int = 0, uint8: bool = False):
+        c = self.config
+        rng = np.random.default_rng(seed)
+        if uint8:
+            iq = rng.integers(
+                0, 256, size=(*batch, c.num_buoys, 2 * c.block_len), dtype=np.uint8
+            )
+        else:
+            iq = (
+                rng.normal(size=(*batch, c.num_buoys, c.block_len))
+                + 1j * rng.normal(size=(*batch, c.num_buoys, c.block_len))
+            ).astype(np.complex64)
+        # A plausible ~20 km-aperture network.
+        anchors = rng.normal(scale=8_000.0, size=(c.num_buoys, 3)).astype(np.float32)
+        anchors[:, 2] = 0.0
+        anchors = np.broadcast_to(anchors, (*batch, c.num_buoys, 3))
+        return jnp.asarray(iq), jnp.asarray(anchors)

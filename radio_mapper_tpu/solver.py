@@ -1,0 +1,219 @@
+"""Batched hyperbolic (TDOA) least-squares positioning.
+
+Replaces the reference's scipy BFGS minimization of squared-residual sums
+(`tdoa_processor.py:218-328`), which its own docs describe as unstable
+(`Documents/TDOA_README.md:49-52`), with a damped Gauss-Newton /
+Levenberg-Marquardt solver designed for TPU:
+
+- fixed iteration count via `lax.scan` (no data-dependent control flow);
+- the normal-equation solve is a tiny batched 3×3 `jnp.linalg.solve`;
+- fully vmappable: one jit solves every frequency group / time window /
+  hypothesis in a single batched program;
+- optional multi-start (centroid + perturbed starts) with best-cost
+  selection, all batched — divergence from a poor initial guess, the
+  reference's main failure mode, is handled by construction;
+- measurements are weighted by confidence. (Note: the reference divides
+  squared residuals by ``confidence + 0.1`` — `tdoa_processor.py:268` —
+  which *up*-weights low-confidence pairs; that is reproduced nowhere here,
+  we weight proportionally to confidence.)
+
+Coordinates are local ENU meters (see :mod:`radio_mapper_tpu.geo`); for a
+≤50 km network (`config.yaml:145`) float32 is ample (≤0.01 m quantization).
+
+Measurement model, matching :func:`radio_mapper_tpu.ops.gcc_phat`'s sign
+convention: for pair (i, j) with measured delay τ_ij (receiver i heard the
+signal later ⇒ τ_ij > 0),
+
+    dd_ij = c·τ_ij ≈ ‖x − p_i‖ − ‖x − p_j‖.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from radio_mapper_tpu.constants import SPEED_OF_LIGHT_M_S
+
+
+class SolveResult(NamedTuple):
+    """Fields have the batch shape of the inputs (position adds a 3-axis)."""
+
+    position_enu: jnp.ndarray  # [..., 3] emitter estimate, meters ENU
+    cost: jnp.ndarray  # [...] final weighted mean squared residual (m²)
+    residual_rms_m: jnp.ndarray  # [...] √cost — reference's accuracy analog
+    grad_norm: jnp.ndarray  # [...] final gradient norm (convergence check)
+    converged: jnp.ndarray  # [...] bool
+    num_measurements: jnp.ndarray  # [...] effective (unmasked) measurement count
+
+
+def _residuals_and_jac(x, anchors, pair_i, pair_j, dd):
+    """r_k = (‖x−p_i‖ − ‖x−p_j‖) − dd_k and its Jacobian wrt x.
+
+    x: [..., 3]; anchors: [..., B, 3]; dd: [..., P]. Returns r [..., P] and
+    J [..., P, 3]. The Jacobian rows are unit-vector differences — exactly
+    the geometry matrix whose conditioning defines GDOP.
+    """
+    diff = x[..., None, :] - anchors  # [..., B, 3]
+    dist = jnp.linalg.norm(diff, axis=-1)  # [..., B]
+    unit = diff / (dist[..., None] + 1e-9)
+    di = jnp.take(dist, pair_i, axis=-1)
+    dj = jnp.take(dist, pair_j, axis=-1)
+    r = (di - dj) - dd
+    ui = jnp.take(unit, pair_i, axis=-2)
+    uj = jnp.take(unit, pair_j, axis=-2)
+    return r, ui - uj
+
+
+def _weighted_cost(x, anchors, pair_i, pair_j, dd, w):
+    r, _ = _residuals_and_jac(x, anchors, pair_i, pair_j, dd)
+    wsum = jnp.sum(w, axis=-1) + 1e-12
+    return jnp.sum(w * r * r, axis=-1) / wsum
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("solve_2d", "iterations", "grad_tol"),
+)
+def solve_tdoa(
+    anchors_enu: jnp.ndarray,
+    pair_i: jnp.ndarray,
+    pair_j: jnp.ndarray,
+    dd_m: jnp.ndarray,
+    weights: Optional[jnp.ndarray] = None,
+    *,
+    init_enu: Optional[jnp.ndarray] = None,
+    solve_2d: bool = True,
+    iterations: int = 40,
+    grad_tol: float = 1e-2,
+) -> SolveResult:
+    """Levenberg-Marquardt hyperbolic solve, batched over leading dims.
+
+    Args:
+      anchors_enu: ``[..., B, 3]`` receiver ENU positions.
+      pair_i/pair_j: ``[P]`` int32 receiver indices per measurement.
+      dd_m: ``[..., P]`` measured distance differences c·τ (meters).
+      weights: ``[..., P]`` non-negative weights; 0 masks a measurement out.
+      init_enu: ``[..., 3]`` initial guess; defaults to the anchor centroid
+        (same initialization as the reference, `tdoa_processor.py:273-277`).
+      solve_2d: freeze the Up component at its initial value — a 2-unknown
+        solve, the right model when receivers and emitter are near one plane
+        (3 receivers cannot resolve altitude anyway).
+    """
+    anchors_enu = jnp.asarray(anchors_enu, jnp.float32)
+    dd_m = jnp.asarray(dd_m, jnp.float32)
+    pair_i = jnp.asarray(pair_i, jnp.int32)
+    pair_j = jnp.asarray(pair_j, jnp.int32)
+    w = (
+        jnp.ones_like(dd_m)
+        if weights is None
+        else jnp.maximum(jnp.asarray(weights, jnp.float32), 0.0)
+    )
+
+    x0 = jnp.mean(anchors_enu, axis=-2) if init_enu is None else jnp.asarray(init_enu, jnp.float32)
+    dim_mask = jnp.asarray([1.0, 1.0, 0.0] if solve_2d else [1.0, 1.0, 1.0], jnp.float32)
+
+    wsum = jnp.sum(w, axis=-1) + 1e-12
+
+    def cost_fn(x):
+        return _weighted_cost(x, anchors_enu, pair_i, pair_j, dd_m, w)
+
+    def step(carry, _):
+        x, lam, cost = carry
+        r, jac = _residuals_and_jac(x, anchors_enu, pair_i, pair_j, dd_m)
+        jac = jac * dim_mask  # frozen dims contribute nothing
+        wr = w * r
+        g = jnp.einsum("...pk,...p->...k", jac, wr) / wsum[..., None]
+        h = jnp.einsum("...pk,...pl->...kl", jac, jac * w[..., None]) / wsum[..., None, None]
+        # Marquardt scaling plus a floor keeps H invertible even when the
+        # geometry is degenerate (collinear receivers) or dims are frozen.
+        diag = jnp.diagonal(h, axis1=-2, axis2=-1)
+        damp = lam[..., None] * jnp.maximum(diag, 1e-6) + 1e-6
+        h_damped = h + jnp.eye(3, dtype=h.dtype) * damp[..., None, :]
+        delta = jnp.linalg.solve(h_damped, -g[..., None])[..., 0] * dim_mask
+        x_new = x + delta
+        cost_new = cost_fn(x_new)
+        improved = cost_new < cost
+        x = jnp.where(improved[..., None], x_new, x)
+        lam = jnp.clip(jnp.where(improved, lam * 0.3, lam * 3.0), 1e-8, 1e8)
+        cost = jnp.minimum(cost, cost_new)
+        return (x, lam, cost), None
+
+    lam0 = jnp.full(dd_m.shape[:-1], 1e-3, jnp.float32)
+    (x, _, cost), _ = jax.lax.scan(step, (x0, lam0, cost_fn(x0)), None, length=iterations)
+
+    r, jac = _residuals_and_jac(x, anchors_enu, pair_i, pair_j, dd_m)
+    g = jnp.einsum("...pk,...p->...k", jac * dim_mask, w * r) / wsum[..., None]
+    grad_norm = jnp.linalg.norm(g, axis=-1)
+    return SolveResult(
+        position_enu=x,
+        cost=cost,
+        residual_rms_m=jnp.sqrt(cost),
+        grad_norm=grad_norm,
+        converged=grad_norm < grad_tol,
+        num_measurements=jnp.sum(w > 0, axis=-1),
+    )
+
+
+def perturbed_starts(anchors_enu: jnp.ndarray, num_starts: int, spread_m: float = 0.0):
+    """Deterministic multi-start seeds: centroid + scaled anchor directions.
+
+    Returns ``[num_starts, ..., 3]``. Start 0 is the centroid; start k>0 sits
+    beyond anchor (k−1) along the centroid→anchor ray (catching emitters
+    outside the array hull, where a centroid start can stall in a valley).
+    """
+    centroid = jnp.mean(anchors_enu, axis=-2)
+    b = anchors_enu.shape[-2]
+    starts = [centroid]
+    for k in range(1, num_starts):
+        a = anchors_enu[..., (k - 1) % b, :]
+        starts.append(centroid + 2.5 * (a - centroid) + spread_m)
+    return jnp.stack(starts, axis=0)
+
+
+def solve_tdoa_multistart(
+    anchors_enu: jnp.ndarray,
+    pair_i: jnp.ndarray,
+    pair_j: jnp.ndarray,
+    dd_m: jnp.ndarray,
+    weights: Optional[jnp.ndarray] = None,
+    *,
+    num_starts: int = 4,
+    **kwargs,
+) -> SolveResult:
+    """Run :func:`solve_tdoa` from several starts, keep the lowest cost."""
+    starts = perturbed_starts(jnp.asarray(anchors_enu, jnp.float32), num_starts)
+    results = jax.vmap(
+        lambda s: solve_tdoa(
+            anchors_enu, pair_i, pair_j, dd_m, weights, init_enu=s, **kwargs
+        )
+    )(starts)
+    best = jnp.argmin(results.cost, axis=0)
+    take = lambda field: jnp.take_along_axis(
+        field, best[None, ..., *(None,) * (field.ndim - 1 - best.ndim)], axis=0
+    )[0]
+    return SolveResult(*(take(f) for f in results))
+
+
+def tau_to_distance_difference(tau_s: jnp.ndarray) -> jnp.ndarray:
+    """c·τ (`tdoa_processor.py:169-170`)."""
+    return jnp.asarray(tau_s) * SPEED_OF_LIGHT_M_S
+
+
+def pair_weights_from_confidence(
+    conf_i: jnp.ndarray, conf_j: jnp.ndarray, timing_sigma_ns: Optional[jnp.ndarray] = None
+) -> jnp.ndarray:
+    """Measurement weight from per-detection confidences.
+
+    Mirrors the reference's confidence composition
+    (`tdoa_processor.py:179-210`): pair confidence = min of the two
+    detection confidences, scaled by exp(−σ_combined / 100 µs) when a timing
+    uncertainty is supplied — but used here as a *proportional* weight.
+    """
+    conf = jnp.minimum(conf_i, conf_j)
+    if timing_sigma_ns is not None:
+        conf = conf * jnp.exp(-jnp.asarray(timing_sigma_ns) / 100_000.0)
+    return conf

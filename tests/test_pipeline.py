@@ -1,0 +1,102 @@
+"""End-to-end flagship pipeline tests (detect → correlate → solve)."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from radio_mapper_tpu import sim
+from radio_mapper_tpu.models.pipeline import PipelineConfig, TDOAPipeline
+
+
+def _scene(seed=8, **kw):
+    scen = sim.default_scenario(
+        signal="noise", bandwidth_hz=150e3, snr_db=25.0, seed=seed, **kw
+    )
+    return scen, sim.synthesize(scen)
+
+
+def test_single_window_fix():
+    scen, cap = _scene()
+    pipe = TDOAPipeline(
+        PipelineConfig(
+            num_buoys=4,
+            block_len=scen.block_len,
+            sample_rate_hz=scen.sample_rate_hz,
+            max_lag=600,
+            power_offset_db=40.0,  # unit-scale floats vs raw-count threshold
+        )
+    )
+    out = pipe.jit_step()(
+        jnp.asarray(cap.iq, jnp.complex64),
+        jnp.asarray(cap.buoy_enu, jnp.float32),
+    )
+    est = np.asarray(out.fix.position_enu)
+    err = np.linalg.norm(est[:2] - cap.emitter_enu[0][:2])
+    assert err < 50.0, err
+    assert np.asarray(out.pair_weights).min() > 0.0
+    assert out.correlation.lag_samples.shape == (6,)
+
+
+def test_batched_channels():
+    """[C, B, N] batch: the pipeline solves every channel in one call."""
+    scens, caps = zip(*[_scene(seed=s) for s in (1, 2, 3)])
+    iq = np.stack([c.iq for c in caps]).astype(np.complex64)
+    anchors = np.stack([c.buoy_enu for c in caps]).astype(np.float32)
+    pipe = TDOAPipeline(
+        PipelineConfig(
+            num_buoys=4,
+            block_len=scens[0].block_len,
+            sample_rate_hz=scens[0].sample_rate_hz,
+            max_lag=600,
+            power_offset_db=40.0,
+        )
+    )
+    out = pipe.jit_step()(jnp.asarray(iq), jnp.asarray(anchors))
+    assert out.fix.position_enu.shape == (3, 3)
+    for k, cap in enumerate(caps):
+        est = np.asarray(out.fix.position_enu)[k]
+        err = np.linalg.norm(est[:2] - cap.emitter_enu[0][:2])
+        assert err < 60.0, (k, err)
+
+
+def test_uint8_path():
+    scen, cap = _scene(seed=12)
+    raw_iq = sim.quantize_uint8(cap)  # decoded back to complex by the sim
+    pipe = TDOAPipeline(
+        PipelineConfig(
+            num_buoys=4,
+            block_len=scen.block_len,
+            sample_rate_hz=scen.sample_rate_hz,
+            max_lag=600,
+        )
+    )
+    out = pipe.jit_step()(
+        jnp.asarray(raw_iq, jnp.complex64), jnp.asarray(cap.buoy_enu, jnp.float32)
+    )
+    est = np.asarray(out.fix.position_enu)
+    err = np.linalg.norm(est[:2] - cap.emitter_enu[0][:2])
+    # 8-bit quantization adds noise but sub-sample TDOA must survive.
+    assert err < 100.0, err
+
+
+def test_no_signal_gives_low_weights():
+    rng = np.random.default_rng(0)
+    iq = (rng.normal(size=(4, 16384)) + 1j * rng.normal(size=(4, 16384))).astype(
+        np.complex64
+    ) * 1e-8  # spectrum ≈ −117 dB, far below the −70 dB threshold
+    anchors = rng.normal(scale=5e3, size=(4, 3)).astype(np.float32)
+    anchors[:, 2] = 0
+    pipe = TDOAPipeline(PipelineConfig(num_buoys=4, block_len=16384, max_lag=256))
+    out = pipe.jit_step()(jnp.asarray(iq), jnp.asarray(anchors))
+    # Nothing detectable: no valid peaks → zero pair weights.
+    assert not np.any(np.asarray(out.peaks.valid))
+    assert np.allclose(np.asarray(out.pair_weights), 0.0)
+
+
+def test_example_inputs_compile():
+    pipe = TDOAPipeline(PipelineConfig(num_buoys=4, block_len=4096, max_lag=128))
+    iq, anchors = pipe.example_inputs(batch=(2,))
+    out = pipe.jit_step()(iq, anchors)
+    assert out.fix.position_enu.shape == (2, 3)
+    raw, anchors2 = pipe.example_inputs(batch=(), uint8=True)
+    out2 = pipe.jit_step_uint8()(raw, anchors2)
+    assert out2.fix.position_enu.shape == (3,)
