@@ -27,6 +27,8 @@ from typing import NamedTuple
 import jax.numpy as jnp
 import numpy as np
 
+from radio_mapper_tpu.ops import fft as fft_ops
+
 
 @lru_cache(maxsize=None)
 def prototype_filter(num_channels: int, taps_per_channel: int = 8, beta: float = 9.0) -> np.ndarray:
@@ -87,7 +89,7 @@ def channelize(
     filtered = jnp.einsum("...ftm,tm->...fm", frames, h.astype(x.dtype))
 
     # Branch FFT; channel c of the FFT corresponds to offset c·fs/M (aliased).
-    ch = jnp.fft.fft(filtered, axis=-1)  # [..., F, M]
+    ch = fft_ops.fft(filtered, axis=-1)  # [..., F, M]
     ch = jnp.moveaxis(ch, -1, -2)  # [..., M, F]
 
     offsets = np.fft.fftfreq(m, d=1.0 / sample_rate_hz)

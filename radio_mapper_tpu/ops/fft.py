@@ -1,0 +1,196 @@
+"""TPU-native FFT: four-step (Bailey) decomposition into MXU matmuls.
+
+XLA's native FFT is not implemented on every TPU runtime (this repo's
+target chip reports UNIMPLEMENTED for ``jnp.fft.*``), and even where it is,
+the MXU — not a scalar butterfly network — is where a TPU's FLOPs live. So
+the framework carries its own FFT built from dense DFT matmuls:
+
+    N = N1 · N2, n = n1 + N1·n2, k = k2 + N2·k1
+    X[k2 + N2·k1] = Σ_{n1} W_N^{n1 k2} · W_{N1}^{n1 k1}
+                     · Σ_{n2} x[n1 + N1·n2] · W_{N2}^{n2 k2}
+
+i.e. an inner DFT over n2 (recursing until the length fits a direct DFT
+matmul), an elementwise twiddle, and an outer DFT matmul. Complex arithmetic
+is decomposed into real float32 matmuls (4 per complex product) so every
+stage is a plain ``dot_general`` the MXU executes natively; DFT and twiddle
+matrices are NumPy-precomputed constants baked into the jit graph.
+
+Cost: 2·N·(N1+N2) MACs vs. N·log2 N for a radix-2 FFT — ~18× the FLOPs at
+N=16384 — but on the MXU's systolic array that trade wins by an order of
+magnitude over scalar/vector butterflies, and XLA fuses the twiddles into
+the surrounding elementwise stream.
+
+The module is the framework's single FFT entry point: ``fft``/``ifft``
+dispatch to XLA's native FFT where it exists (CPU golden paths) and to the
+matmul implementation on TPU; ``set_backend`` forces either.
+"""
+
+from __future__ import annotations
+
+from functools import lru_cache
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+# Largest direct DFT matmul. 1024² f32 matrices are 4 MiB/part — small next
+# to VMEM-resident working sets, and one 1024-DFT is a single MXU-shaped
+# [batch,1024]×[1024,1024] contraction.
+MAX_DIRECT = 1024
+
+_BACKEND = "auto"  # auto | xla | matmul
+
+
+def set_backend(name: str) -> None:
+    """Force the FFT implementation: 'xla', 'matmul', or 'auto'."""
+    global _BACKEND
+    if name not in ("auto", "xla", "matmul"):
+        raise ValueError(f"unknown fft backend {name!r}")
+    _BACKEND = name
+
+
+def get_backend() -> str:
+    return _BACKEND
+
+
+def _use_matmul() -> bool:
+    if _BACKEND == "matmul":
+        return True
+    if _BACKEND == "xla":
+        return False
+    return jax.default_backend() == "tpu"
+
+
+@lru_cache(maxsize=None)
+def _dft_matrix(n: int) -> Tuple[np.ndarray, np.ndarray]:
+    """(re, im) of the symmetric DFT matrix W[j,k] = exp(-2πi·jk/n), f32."""
+    jk = np.outer(np.arange(n), np.arange(n))
+    w = np.exp(-2j * np.pi * jk / n)
+    return w.real.astype(np.float32), w.imag.astype(np.float32)
+
+
+@lru_cache(maxsize=None)
+def _twiddle(n1: int, n2: int) -> Tuple[np.ndarray, np.ndarray]:
+    """(re, im) of T[n1, k2] = exp(-2πi·n1·k2/(n1·n2)), f32."""
+    t = np.exp(-2j * np.pi * np.outer(np.arange(n1), np.arange(n2)) / (n1 * n2))
+    return t.real.astype(np.float32), t.imag.astype(np.float32)
+
+
+def _split_length(n: int) -> Tuple[int, int]:
+    """Pick N1 (outer, ≤ MAX_DIRECT, near √N) · N2 = N."""
+    best = None
+    n1 = 1
+    while n1 * n1 <= n:
+        if n % n1 == 0 and n1 <= MAX_DIRECT:
+            best = n1
+        n1 += 1
+    if best is None or best == 1:
+        raise ValueError(
+            f"FFT length {n} has no usable factorization (needs a factor ≤ {MAX_DIRECT})"
+        )
+    return best, n // best
+
+
+def _dft_direct(re: jnp.ndarray, im: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    n = re.shape[-1]
+    w_re, w_im = _dft_matrix(n)
+    w_re = jnp.asarray(w_re)
+    w_im = jnp.asarray(w_im)
+    y_re = jnp.dot(re, w_re, preferred_element_type=jnp.float32) - jnp.dot(
+        im, w_im, preferred_element_type=jnp.float32
+    )
+    y_im = jnp.dot(re, w_im, preferred_element_type=jnp.float32) + jnp.dot(
+        im, w_re, preferred_element_type=jnp.float32
+    )
+    return y_re, y_im
+
+
+def _fft_re_im(re: jnp.ndarray, im: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Forward DFT over the last axis of an (re, im) float32 pair."""
+    n = re.shape[-1]
+    if n <= MAX_DIRECT:
+        return _dft_direct(re, im)
+
+    n1, n2 = _split_length(n)
+    batch = re.shape[:-1]
+
+    # A[..., n2, n1] with A[n2, n1] = x[n1 + N1·n2]; inner DFT runs over n2,
+    # so transpose it to the last axis.
+    a_re = jnp.swapaxes(re.reshape(*batch, n2, n1), -1, -2)
+    a_im = jnp.swapaxes(im.reshape(*batch, n2, n1), -1, -2)
+    b_re, b_im = _fft_re_im(a_re, a_im)  # [..., n1, k2]
+
+    t_re, t_im = _twiddle(n1, n2)
+    t_re = jnp.asarray(t_re)
+    t_im = jnp.asarray(t_im)
+    c_re = b_re * t_re - b_im * t_im
+    c_im = b_re * t_im + b_im * t_re
+
+    # Outer DFT over n1: R[..., k1, k2] = Σ_{n1} W1[k1, n1] · C[..., n1, k2].
+    w_re, w_im = _dft_matrix(n1)
+    w_re = jnp.asarray(w_re)
+    w_im = jnp.asarray(w_im)
+    r_re = jnp.einsum("kn,...nc->...kc", w_re, c_re) - jnp.einsum(
+        "kn,...nc->...kc", w_im, c_im
+    )
+    r_im = jnp.einsum("kn,...nc->...kc", w_re, c_im) + jnp.einsum(
+        "kn,...nc->...kc", w_im, c_re
+    )
+    # Flat index k = k2 + N2·k1 → reshape [k1, k2] directly.
+    return r_re.reshape(*batch, n), r_im.reshape(*batch, n)
+
+
+def _pad_or_trim(x: jnp.ndarray, n: Optional[int]) -> jnp.ndarray:
+    if n is None or n == x.shape[-1]:
+        return x
+    if n < x.shape[-1]:
+        return x[..., :n]
+    pad = [(0, 0)] * (x.ndim - 1) + [(0, n - x.shape[-1])]
+    return jnp.pad(x, pad)
+
+
+def fft(x: jnp.ndarray, n: Optional[int] = None, axis: int = -1) -> jnp.ndarray:
+    """Drop-in ``jnp.fft.fft`` over one axis with TPU-safe implementation."""
+    if axis not in (-1, x.ndim - 1):
+        x = jnp.moveaxis(x, axis, -1)
+        out = fft(x, n=n, axis=-1)
+        return jnp.moveaxis(out, -1, axis)
+    x = _pad_or_trim(x, n)
+    if not _use_matmul():
+        return jnp.fft.fft(x, axis=-1)
+    re = jnp.real(x).astype(jnp.float32)
+    im = jnp.imag(x).astype(jnp.float32)
+    y_re, y_im = _fft_re_im(re, im)
+    return jax.lax.complex(y_re, y_im)
+
+
+def ifft(x: jnp.ndarray, n: Optional[int] = None, axis: int = -1) -> jnp.ndarray:
+    """Inverse FFT via the conjugation identity ifft(x) = conj(fft(conj(x)))/N."""
+    if axis not in (-1, x.ndim - 1):
+        x = jnp.moveaxis(x, axis, -1)
+        out = ifft(x, n=n, axis=-1)
+        return jnp.moveaxis(out, -1, axis)
+    x = _pad_or_trim(x, n)
+    if not _use_matmul():
+        return jnp.fft.ifft(x, axis=-1)
+    length = x.shape[-1]
+    y = jnp.conj(fft(jnp.conj(x), axis=-1))
+    return y / length
+
+
+def fftshift(x: jnp.ndarray, axis: int = -1) -> jnp.ndarray:
+    return jnp.fft.fftshift(x, axes=axis)
+
+
+def fft_re_im(
+    re: jnp.ndarray, im: jnp.ndarray, n: Optional[int] = None
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Split-representation forward FFT (last axis) for complex-free paths.
+
+    Some TPU runtimes are shaky on the complex dtype itself; hot paths can
+    carry (re, im) float32 pairs end-to-end and call this directly.
+    """
+    re = _pad_or_trim(re, n)
+    im = _pad_or_trim(im, n)
+    return _fft_re_im(re.astype(jnp.float32), im.astype(jnp.float32))

@@ -31,6 +31,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from radio_mapper_tpu.ops import fft as fft_ops
+
 WEIGHTINGS = ("cc", "phat", "scot", "roth")
 
 
@@ -100,11 +102,11 @@ def cross_correlate(
     if max_lag >= n:
         raise ValueError(f"max_lag {max_lag} must be < block length {n}")
     nfft = next_pow2(n + max_lag)
-    x_f = jnp.fft.fft(x, n=nfft, axis=-1)
-    y_f = jnp.fft.fft(y, n=nfft, axis=-1)
+    x_f = fft_ops.fft(x, n=nfft, axis=-1)
+    y_f = fft_ops.fft(y, n=nfft, axis=-1)
     r = x_f * jnp.conj(y_f)
     r = _weight_cross_spectrum(r, x_f, y_f, weighting, eps)
-    corr = jnp.fft.ifft(r, axis=-1)
+    corr = fft_ops.ifft(r, axis=-1)
     neg = corr[..., nfft - max_lag :]
     pos = corr[..., : max_lag + 1]
     return jnp.concatenate([neg, pos], axis=-1)

@@ -21,6 +21,8 @@ from typing import Optional
 
 import jax
 import jax.numpy as jnp
+
+from radio_mapper_tpu.ops import fft as fft_ops
 import numpy as np
 
 from radio_mapper_tpu.ops.windows import get_window
@@ -43,7 +45,7 @@ def power_spectrum_db(
     n = iq.shape[-1]
     if window is not None:
         iq = iq * jnp.asarray(get_window(window, n))
-    x = jnp.fft.fft(iq, n=nfft, axis=-1)
+    x = fft_ops.fft(iq, n=nfft, axis=-1)
     if shift:
         x = jnp.fft.fftshift(x, axes=-1)
     return 20.0 * jnp.log10(jnp.abs(x) + DB_EPS)
@@ -96,7 +98,7 @@ def welch_psd_db(
     hop = max(1, int(nfft * (1.0 - overlap)))
     frames = frame_signal(iq, nfft, hop)
     w = jnp.asarray(get_window(window, nfft))
-    spec = jnp.fft.fft(frames * w, axis=-1)
+    spec = fft_ops.fft(frames * w, axis=-1)
     p = jnp.mean(jnp.abs(spec) ** 2, axis=-2)
     if shift:
         p = jnp.fft.fftshift(p, axes=-1)
@@ -115,7 +117,7 @@ def spectrogram_db(
     hop = max(1, int(nfft * (1.0 - overlap)))
     frames = frame_signal(iq, nfft, hop)
     w = jnp.asarray(get_window(window, nfft))
-    spec = jnp.fft.fft(frames * w, axis=-1)
+    spec = fft_ops.fft(frames * w, axis=-1)
     if shift:
         spec = jnp.fft.fftshift(spec, axes=-1)
     return 20.0 * jnp.log10(jnp.abs(spec) + DB_EPS)
