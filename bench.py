@@ -1,0 +1,92 @@
+"""Benchmark: full-pipeline IQ throughput per chip.
+
+Runs the flagship TDOA pipeline (batched PSD detect → all-pairs GCC-PHAT →
+LM solve) on the default JAX backend and prints ONE JSON line:
+
+    {"metric": "iq_samples_per_s_per_chip", "value": ..., "unit": ...,
+     "vs_baseline": ...}
+
+Baseline: the north-star real-time target of 256 simultaneous 2.4 MS/s
+channels on a 16-chip v5p slice (BASELINE.json) ⇒ 16 ch × 2.4 MS/s =
+38.4 M IQ samples/s per chip. ``vs_baseline`` > 1 means the chip keeps up
+with its share of the pod-scale target, with the full detection +
+correlation + solve stack running, not just the FFTs.
+
+(For context, the reference's per-node Python detector processes 16384
+samples every ~2 s ≈ 8 kS/s — `buoy_node.py:364,220` — and its stream
+client 8192 samples per 100 ms ≈ 82 kS/s — `iq_stream_client.py:458-459`.)
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import numpy as np
+
+
+# Per-chip share of the north-star target (see module docstring).
+BASELINE_SAMPLES_PER_S_PER_CHIP = 38_400_000.0
+
+
+def run_bench(
+    *,
+    num_channels: int = 16,
+    num_buoys: int = 8,
+    block_len: int = 16_384,
+    sample_rate_hz: float = 2_400_000.0,
+    max_lag: int = 512,
+    warmup: int = 2,
+    iters: int = 10,
+):
+    import jax
+    import jax.numpy as jnp
+
+    from radio_mapper_tpu.models.pipeline import PipelineConfig, TDOAPipeline
+
+    pipe = TDOAPipeline(
+        PipelineConfig(
+            num_buoys=num_buoys,
+            block_len=block_len,
+            sample_rate_hz=sample_rate_hz,
+            max_lag=max_lag,
+            max_peaks=8,
+            solver_iterations=25,
+        )
+    )
+    iq, anchors = pipe.example_inputs(batch=(num_channels,), seed=0)
+    iq = jax.device_put(iq)
+    anchors = jax.device_put(anchors)
+    step = pipe.jit_step()
+
+    for _ in range(warmup):
+        out = step(iq, anchors)
+    jax.block_until_ready(out)
+
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = step(iq, anchors)
+    jax.block_until_ready(out)
+    dt = time.perf_counter() - t0
+
+    samples_per_step = num_channels * num_buoys * block_len
+    value = samples_per_step * iters / dt
+    return value, jax.default_backend(), dt / iters
+
+
+def main():
+    value, backend, step_s = run_bench()
+    print(
+        json.dumps(
+            {
+                "metric": "iq_samples_per_s_per_chip",
+                "value": round(float(value), 1),
+                "unit": "samples/s/chip",
+                "vs_baseline": round(float(value) / BASELINE_SAMPLES_PER_S_PER_CHIP, 4),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

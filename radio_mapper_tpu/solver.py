@@ -114,6 +114,14 @@ def solve_tdoa(
     )
 
     x0 = jnp.mean(anchors_enu, axis=-2) if init_enu is None else jnp.asarray(init_enu, jnp.float32)
+    # Anchors may be shared (unbatched) while measurements are batched —
+    # broadcast the solver state to the measurement batch shape.
+    batch_shape = jnp.broadcast_shapes(x0.shape[:-1], dd_m.shape[:-1])
+    x0 = jnp.broadcast_to(x0, (*batch_shape, 3))
+    # Inside shard_map, anchors may be device-replicated ("unvarying") while
+    # measurements vary per shard; the scan carry must have consistent
+    # varying-axis types, so tie the initial state to the measurements.
+    x0 = x0 + 0.0 * dd_m[..., :1]
     dim_mask = jnp.asarray([1.0, 1.0, 0.0] if solve_2d else [1.0, 1.0, 1.0], jnp.float32)
 
     wsum = jnp.sum(w, axis=-1) + 1e-12
@@ -142,7 +150,7 @@ def solve_tdoa(
         cost = jnp.minimum(cost, cost_new)
         return (x, lam, cost), None
 
-    lam0 = jnp.full(dd_m.shape[:-1], 1e-3, jnp.float32)
+    lam0 = jnp.full(dd_m.shape[:-1], 1e-3, jnp.float32) + 0.0 * dd_m[..., 0]
     (x, _, cost), _ = jax.lax.scan(step, (x0, lam0, cost_fn(x0)), None, length=iterations)
 
     r, jac = _residuals_and_jac(x, anchors_enu, pair_i, pair_j, dd_m)
