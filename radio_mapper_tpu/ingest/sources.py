@@ -1,0 +1,222 @@
+"""Concrete IQ sources."""
+
+from __future__ import annotations
+
+import abc
+import subprocess
+import threading
+import time
+from typing import Optional
+
+import numpy as np
+
+from radio_mapper_tpu import sim
+from radio_mapper_tpu.constants import SPEED_OF_LIGHT_M_S
+from radio_mapper_tpu.ops import iq as iq_ops
+
+
+class IQSource(abc.ABC):
+    """A retunable stream of complex64 baseband blocks."""
+
+    sample_rate_hz: float
+    center_frequency_hz: float
+
+    @abc.abstractmethod
+    def read(self, num_samples: int) -> np.ndarray:
+        """Blocking read of ``num_samples`` complex64 samples."""
+
+    def tune(self, center_frequency_hz: float) -> None:
+        self.center_frequency_hz = float(center_frequency_hz)
+
+    def close(self) -> None:  # pragma: no cover - default no-op
+        pass
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+
+class SimulatedSource(IQSource):
+    """Deterministic synthetic stream for one buoy of a scenario.
+
+    Emits the scenario's emitters (with true geometric delay, path loss and
+    noise) whenever the tuned frequency is within half a sample-rate of the
+    scenario's channel center; otherwise pure noise. Time advances with
+    every read, and two SimulatedSources for different buoys of the *same*
+    scenario produce coherently delayed streams — so a full multi-node
+    stack can run against physics without hardware.
+    """
+
+    def __init__(
+        self,
+        scenario: sim.Scenario,
+        buoy_index: int,
+        *,
+        block_cache: int = 1 << 16,
+    ):
+        self.scenario = scenario
+        self.buoy_index = buoy_index
+        self.sample_rate_hz = scenario.sample_rate_hz
+        self.center_frequency_hz = scenario.center_frequency_mhz * 1e6
+        self._offset = 0
+        self._block_cache = block_cache
+        self._cache: Optional[np.ndarray] = None
+        self._cache_key = None
+
+    def _ensure_cache(self):
+        on_channel = (
+            abs(self.center_frequency_hz - self.scenario.center_frequency_mhz * 1e6)
+            <= self.sample_rate_hz / 2
+        )
+        key = (on_channel, self._block_cache)
+        if self._cache_key == key:
+            return
+        if on_channel:
+            scen = sim.Scenario(
+                buoys=self.scenario.buoys,
+                emitters=self.scenario.emitters,
+                sample_rate_hz=self.scenario.sample_rate_hz,
+                center_frequency_mhz=self.scenario.center_frequency_mhz,
+                block_len=self._block_cache,
+                snr_db=self.scenario.snr_db,
+                timing_jitter_s=self.scenario.timing_jitter_s,
+                seed=self.scenario.seed,
+            )
+            cap = sim.synthesize(scen)
+            self._cache = cap.iq[self.buoy_index].astype(np.complex64)
+        else:
+            rng = np.random.default_rng(self.scenario.seed ^ 0xDEAD ^ self.buoy_index)
+            n = self._block_cache
+            self._cache = (
+                (rng.normal(size=n) + 1j * rng.normal(size=n)) * 0.01
+            ).astype(np.complex64)
+        self._cache_key = key
+
+    def read(self, num_samples: int) -> np.ndarray:
+        self._ensure_cache()
+        out = np.empty(num_samples, np.complex64)
+        n = len(self._cache)
+        pos = 0
+        while pos < num_samples:
+            take = min(num_samples - pos, n - self._offset)
+            out[pos : pos + take] = self._cache[self._offset : self._offset + take]
+            pos += take
+            self._offset = (self._offset + take) % n
+        return out
+
+    def tune(self, center_frequency_hz: float) -> None:
+        super().tune(center_frequency_hz)
+        self._cache_key = None
+
+    def true_delay_s(self, emitter: int = 0) -> float:
+        d = np.linalg.norm(
+            self.scenario.buoy_enu()[self.buoy_index]
+            - self.scenario.emitter_enu(self.scenario.emitters[emitter])
+        )
+        return float(d) / SPEED_OF_LIGHT_M_S
+
+
+class FileSource(IQSource):
+    """Replays (and loops) a raw uint8 interleaved I/Q capture file."""
+
+    def __init__(self, path: str, *, sample_rate_hz: float, center_frequency_hz: float = 0.0, loop: bool = True):
+        self.path = path
+        self.sample_rate_hz = sample_rate_hz
+        self.center_frequency_hz = center_frequency_hz
+        self.loop = loop
+        self._data = iq_ops.load_iq_bin(path).astype(np.complex64)
+        if self._data.size == 0:
+            raise ValueError(f"empty capture file {path}")
+        self._offset = 0
+
+    def read(self, num_samples: int) -> np.ndarray:
+        out = np.empty(num_samples, np.complex64)
+        n = self._data.size
+        pos = 0
+        while pos < num_samples:
+            if self._offset >= n:
+                if not self.loop:
+                    out[pos:] = 0
+                    break
+                self._offset = 0
+            take = min(num_samples - pos, n - self._offset)
+            out[pos : pos + take] = self._data[self._offset : self._offset + take]
+            pos += take
+            self._offset += take
+        return out
+
+
+class RtlSdrProcessSource(IQSource):
+    """Persistent ``rtl_sdr`` subprocess streaming uint8 I/Q to stdout.
+
+    Parity with the reference's streaming capture
+    (`iq_stream_client.py:100-159`): blocking pipe reads, uint8 decode
+    centered at 127.5. Retuning restarts the process (the CLI has no
+    runtime tune command — that's rtl_tcp's job).
+    """
+
+    def __init__(
+        self,
+        *,
+        sample_rate_hz: float = 2_048_000.0,
+        center_frequency_hz: float = 121.5e6,
+        gain: Optional[float] = None,
+        device_index: int = 0,
+        binary: str = "rtl_sdr",
+    ):
+        self.sample_rate_hz = sample_rate_hz
+        self.center_frequency_hz = center_frequency_hz
+        self.gain = gain
+        self.device_index = device_index
+        self.binary = binary
+        self._proc: Optional[subprocess.Popen] = None
+        self._lock = threading.Lock()
+
+    def _start(self):
+        cmd = [
+            self.binary,
+            "-f", str(int(self.center_frequency_hz)),
+            "-s", str(int(self.sample_rate_hz)),
+            "-d", str(self.device_index),
+        ]
+        if self.gain is not None:
+            cmd += ["-g", str(self.gain)]
+        cmd += ["-"]
+        self._proc = subprocess.Popen(
+            cmd, stdout=subprocess.PIPE, stderr=subprocess.DEVNULL,
+            stdin=subprocess.DEVNULL,
+        )
+        time.sleep(0.1)
+
+    def read(self, num_samples: int) -> np.ndarray:
+        with self._lock:
+            if self._proc is None or self._proc.poll() is not None:
+                self._start()
+            need = num_samples * 2
+            buf = b""
+            while len(buf) < need:
+                chunk = self._proc.stdout.read(need - len(buf))
+                if not chunk:
+                    raise IOError("rtl_sdr stream ended")
+                buf += chunk
+        raw = np.frombuffer(buf, dtype=np.uint8)
+        return iq_ops.decode_uint8_iq_numpy(raw).astype(np.complex64)
+
+    def tune(self, center_frequency_hz: float) -> None:
+        super().tune(center_frequency_hz)
+        with self._lock:
+            if self._proc is not None:
+                self._proc.terminate()
+                self._proc = None
+
+    def close(self) -> None:
+        with self._lock:
+            if self._proc is not None:
+                self._proc.terminate()
+                try:
+                    self._proc.wait(timeout=2)
+                except subprocess.TimeoutExpired:
+                    self._proc.kill()
+                self._proc = None

@@ -1,0 +1,299 @@
+"""Buoy node runtime: GPS-synchronized scanning, detection, comms.
+
+Async re-design of the reference's thread soup (`buoy_node.py:683-811`:
+monitor thread + queue-drain thread + heartbeat thread + WS thread):
+here one asyncio task group runs
+
+  scan loop   — GPS-wall-clock synchronized frequency schedule
+                (`buoy_node.py:146-153, 226-242`): tune → capture a block →
+                jit-compiled batched detector → enqueue detections;
+  send loop   — drains the detection queue over the WebSocket
+                (`buoy_node.py:745-764`);
+  heartbeat   — BuoyStatus every 30 s (`buoy_node.py:766-792`);
+  comms       — auto-reconnect with 5→60 s exponential backoff
+                (`buoy_node.py:565-602`).
+
+Detection itself is the TPU/JAX detector from :mod:`radio_mapper_tpu.ops`
+— the same jitted program the batch pipeline uses, so a buoy's on-node
+numbers match the central pipeline bit-for-bit.
+"""
+
+from __future__ import annotations
+
+import asyncio
+import dataclasses
+import json
+import logging
+import time
+from typing import List, Optional
+
+import numpy as np
+
+from radio_mapper_tpu import constants
+from radio_mapper_tpu.ingest import IQSource, SimulatedSource
+from radio_mapper_tpu.ops import detect as detect_ops
+from radio_mapper_tpu.runtime.datamodel import (
+    BuoyStatus,
+    NumpyJSONEncoder,
+    SignalDetection,
+    utc_now_iso,
+)
+from radio_mapper_tpu.runtime.gps import GPSTimeSource
+
+logger = logging.getLogger(__name__)
+
+
+@dataclasses.dataclass
+class BuoyNodeConfig:
+    buoy_id: str = "buoy-001"
+    central_ws_url: str = "ws://localhost:8081"
+    lat: float = 35.5513
+    lng: float = -97.5322
+    sample_rate_hz: float = float(constants.DEFAULT_SAMPLE_RATE_HZ)
+    block_len: int = constants.DEFAULT_BLOCK_SAMPLES
+    scan_interval_s: float = 2.0  # `buoy_node.py:220`
+    heartbeat_interval_s: float = 30.0
+    development_mode: bool = False
+    max_peaks: int = 8
+    power_offset_db: float = 0.0
+    detection_threshold_db: float = constants.DEFAULT_DETECTION_THRESHOLD_DBM
+    reconnect_min_s: float = 5.0
+    reconnect_max_s: float = 60.0
+
+
+class BuoyNode:
+    def __init__(
+        self,
+        config: BuoyNodeConfig,
+        *,
+        source: Optional[IQSource] = None,
+        gps: Optional[GPSTimeSource] = None,
+    ):
+        self.config = config
+        self.source = source
+        self.gps = gps or GPSTimeSource(
+            config.lat, config.lng, development_mode=config.development_mode
+        )
+        self.schedule = constants.DEFAULT_SCAN_SCHEDULE
+        self.queue: asyncio.Queue = asyncio.Queue(maxsize=1000)
+        self.signals_detected = 0
+        self.started_at = time.time()
+        self.latest_detection_ts: Optional[str] = None
+        self.running = False
+        self._detect_jit = None
+        self._ws = None
+
+    # ---------------------------------------------------------- detection
+
+    def _detector(self):
+        if self._detect_jit is None:
+            import jax
+
+            cfg = self.config
+
+            def fn(iq):
+                return detect_ops.detect_signals(
+                    iq,
+                    sample_rate_hz=cfg.sample_rate_hz,
+                    max_peaks=cfg.max_peaks,
+                    power_offset_db=cfg.power_offset_db,
+                    threshold_db=cfg.detection_threshold_db,
+                )
+
+            self._detect_jit = jax.jit(fn)
+        return self._detect_jit
+
+    def detect_block(self, iq: np.ndarray, center_frequency_hz: float) -> List[SignalDetection]:
+        """Run the jitted detector on one block and materialize detections."""
+        peaks = self._detector()(iq.astype(np.complex64))
+        valid = np.asarray(peaks.valid)
+        freqs = np.asarray(peaks.freq_offset_hz) + center_frequency_hz
+        powers = np.asarray(peaks.power_db)
+        confs = np.asarray(peaks.confidence)
+        iso_ts, gps_ns = self.gps.get_precise_timestamp()
+        lat, lng = self.gps.get_position()
+        out = []
+        for k in range(valid.shape[-1]):
+            if not valid[k]:
+                continue
+            f_mhz = float(freqs[k]) / 1e6
+            out.append(
+                SignalDetection(
+                    buoy_id=self.config.buoy_id,
+                    frequency_mhz=round(f_mhz, 3),
+                    signal_strength_dbm=round(float(powers[k]), 1),
+                    timestamp_utc=iso_ts,
+                    gps_timestamp_ns=gps_ns,
+                    lat=lat,
+                    lng=lng,
+                    confidence=round(float(confs[k]), 2),
+                    signal_type=constants.classify_frequency_mhz(f_mhz),
+                )
+            )
+        return out
+
+    def current_dwell(self) -> constants.ScheduleEntry:
+        return constants.frequency_at(time.time(), self.schedule)
+
+    async def scan_once(self) -> List[SignalDetection]:
+        entry = self.current_dwell()
+        center_hz = entry.frequency_mhz * 1e6
+        if self.source is None:
+            return []
+        try:
+            self.source.tune(center_hz)
+            iq = await asyncio.get_event_loop().run_in_executor(
+                None, self.source.read, self.config.block_len
+            )
+        except Exception as e:
+            logger.error("capture failed (%s); skipping dwell", e)
+            return []
+        detections = await asyncio.get_event_loop().run_in_executor(
+            None, self.detect_block, iq, center_hz
+        )
+        for d in detections:
+            if d.signal_type == "emergency":
+                logger.warning("EMERGENCY SIGNAL DETECTED: %.3f MHz", d.frequency_mhz)
+        return detections
+
+    async def _scan_loop(self):
+        while self.running:
+            detections = await self.scan_once()
+            for d in detections:
+                self.signals_detected += 1
+                self.latest_detection_ts = d.timestamp_utc
+                try:
+                    self.queue.put_nowait(d)
+                except asyncio.QueueFull:
+                    logger.warning("detection queue full; dropping")
+            await asyncio.sleep(self.config.scan_interval_s)
+
+    # ------------------------------------------------------------- comms
+
+    async def _register(self, ws):
+        lat, lng = self.gps.get_position()
+        await ws.send(
+            json.dumps(
+                {
+                    "type": "node_registration",
+                    "node_id": self.config.buoy_id,
+                    "lat": lat,
+                    "lng": lng,
+                    "timing_accuracy_ns": self.gps.timing_accuracy_ns,
+                    "capabilities": ["detect", "gcc_phat"],
+                    "timestamp": utc_now_iso(),
+                }
+            )
+        )
+
+    async def _send_loop(self, ws):
+        while self.running:
+            det = await self.queue.get()
+            await ws.send(
+                json.dumps(
+                    {"type": "signal_detection", "data": dataclasses.asdict(det)},
+                    cls=NumpyJSONEncoder,
+                )
+            )
+
+    async def _heartbeat_loop(self, ws):
+        while self.running:
+            lat, lng = self.gps.get_position()
+            status = BuoyStatus(
+                buoy_id=self.config.buoy_id,
+                lat=lat,
+                lng=lng,
+                gps_locked=self.gps.gps_locked,
+                timing_accuracy_ns=self.gps.timing_accuracy_ns,
+                sdr_active=self.source is not None,
+                last_detection=self.latest_detection_ts,
+                uptime_seconds=time.time() - self.started_at,
+                signals_detected=self.signals_detected,
+            )
+            await ws.send(
+                json.dumps(
+                    {
+                        "type": "heartbeat",
+                        "node_id": self.config.buoy_id,
+                        "status": dataclasses.asdict(status),
+                    }
+                )
+            )
+            await asyncio.sleep(self.config.heartbeat_interval_s)
+
+    async def _recv_loop(self, ws):
+        async for message in ws:
+            try:
+                data = json.loads(message)
+            except json.JSONDecodeError:
+                continue
+            mtype = data.get("type")
+            if mtype == "triangulation_result":
+                d = data.get("data", {})
+                logger.info(
+                    "Triangulation result: %.3f MHz at (%.6f, %.6f)",
+                    d.get("frequency_mhz", 0.0),
+                    d.get("estimated_lat", 0.0),
+                    d.get("estimated_lng", 0.0),
+                )
+
+    async def run(self):
+        """Run until cancelled; reconnects with exponential backoff."""
+        import websockets
+
+        self.running = True
+        self.gps.initialize()
+        backoff = self.config.reconnect_min_s
+        scan_task = asyncio.create_task(self._scan_loop())
+        try:
+            while self.running:
+                try:
+                    async with websockets.connect(self.config.central_ws_url) as ws:
+                        self._ws = ws
+                        backoff = self.config.reconnect_min_s
+                        await self._register(ws)
+                        senders = [
+                            asyncio.create_task(self._send_loop(ws)),
+                            asyncio.create_task(self._heartbeat_loop(ws)),
+                            asyncio.create_task(self._recv_loop(ws)),
+                        ]
+                        done, pending = await asyncio.wait(
+                            senders, return_when=asyncio.FIRST_EXCEPTION
+                        )
+                        for t in pending:
+                            t.cancel()
+                        for t in done:
+                            if t.exception():
+                                raise t.exception()
+                except asyncio.CancelledError:
+                    raise
+                except Exception as e:
+                    logger.warning(
+                        "central connection lost (%s); retrying in %.0fs", e, backoff
+                    )
+                    await asyncio.sleep(backoff)
+                    backoff = min(backoff * 2, self.config.reconnect_max_s)
+        finally:
+            self.running = False
+            scan_task.cancel()
+
+    def stop(self):
+        self.running = False
+
+
+def simulated_buoy(
+    scenario, buoy_index: int, config: Optional[BuoyNodeConfig] = None
+) -> BuoyNode:
+    """A BuoyNode wired to a SimulatedSource for hardware-free operation."""
+    b = scenario.buoys[buoy_index]
+    cfg = config or BuoyNodeConfig()
+    cfg = dataclasses.replace(
+        cfg,
+        buoy_id=b.buoy_id,
+        lat=b.lat,
+        lng=b.lng,
+        sample_rate_hz=scenario.sample_rate_hz,
+        development_mode=True,
+        power_offset_db=40.0,  # unit-scale synthetic floats vs raw-count dB
+    )
+    return BuoyNode(cfg, source=SimulatedSource(scenario, buoy_index))
