@@ -1,0 +1,313 @@
+"""Command-line runner.
+
+Parity with the reference's `run.py` commands (`run.py:363-432`:
+server | client | web | setup | test) plus TPU-era additions:
+
+  server    — central processor (WS ingest + HTTP API + triangulation)
+  buoy      — a buoy node (simulated / file / rtl_sdr / rtl_tcp source)
+  web       — dashboard (Leaflet map + API proxy)
+  simulate  — synthesize a scenario, run the TPU pipeline, print the fix
+  analyze   — offline .bin capture analysis (spectrum PNG + stats)
+  capture   — one-shot IQ capture to .bin (`sdr_capture.py` parity)
+  bench     — full-pipeline throughput benchmark
+  test      — environment self-test (`run.py:246-320` parity)
+  setup     — autodetect hardware + generate example config
+"""
+
+from __future__ import annotations
+
+import argparse
+import asyncio
+import logging
+import sys
+
+
+def _setup_logging(verbose: bool):
+    logging.basicConfig(
+        level=logging.DEBUG if verbose else logging.INFO,
+        format="%(asctime)s %(name)s %(levelname)s %(message)s",
+    )
+
+
+def cmd_server(args):
+    from radio_mapper_tpu.runtime.central import CentralProcessor
+
+    central = CentralProcessor(
+        host=args.host, ws_port=args.ws_port, http_port=args.http_port,
+        min_nodes=args.min_nodes,
+    )
+    asyncio.run(central.run_forever())
+
+
+def cmd_buoy(args):
+    import dataclasses
+
+    from radio_mapper_tpu import sim
+    from radio_mapper_tpu.runtime.buoy import BuoyNode, BuoyNodeConfig, simulated_buoy
+
+    cfg = BuoyNodeConfig(
+        buoy_id=args.id,
+        central_ws_url=args.central,
+        development_mode=args.dev,
+    )
+    if args.source == "sim":
+        scen = sim.default_scenario(signal="noise", bandwidth_hz=50e3)
+        idx = args.sim_index % len(scen.buoys)
+        node = simulated_buoy(scen, idx, cfg)
+    elif args.source == "file":
+        from radio_mapper_tpu.ingest import FileSource
+
+        node = BuoyNode(cfg, source=FileSource(args.file, sample_rate_hz=args.sample_rate))
+    elif args.source == "rtl_tcp":
+        from radio_mapper_tpu.net.rtl_tcp import RtlTcpSource
+
+        host, _, port = args.rtl_tcp.partition(":")
+        node = BuoyNode(
+            cfg,
+            source=RtlTcpSource(host, int(port or 1234), sample_rate_hz=args.sample_rate),
+        )
+    else:  # rtl_sdr subprocess
+        from radio_mapper_tpu.ingest import RtlSdrProcessSource
+
+        node = BuoyNode(cfg, source=RtlSdrProcessSource(sample_rate_hz=args.sample_rate))
+    asyncio.run(node.run())
+
+
+def cmd_web(args):
+    from radio_mapper_tpu.webapp.app import WebApp
+
+    app = WebApp(central_http_url=args.central, host=args.host, port=args.port)
+    asyncio.run(app.run_forever())
+
+
+def cmd_simulate(args):
+    import numpy as np
+    import jax.numpy as jnp
+
+    from radio_mapper_tpu import geo, sim
+    from radio_mapper_tpu.models.pipeline import PipelineConfig, TDOAPipeline
+
+    scen = sim.default_scenario(
+        emitter_lat=args.lat, emitter_lng=args.lng, signal=args.signal,
+        bandwidth_hz=args.bandwidth, snr_db=args.snr,
+        timing_jitter_s=args.timing_jitter_us * 1e-6, seed=args.seed,
+    )
+    cap = sim.synthesize(scen)
+    pipe = TDOAPipeline(
+        PipelineConfig(
+            num_buoys=len(scen.buoys), block_len=scen.block_len,
+            sample_rate_hz=scen.sample_rate_hz, max_lag=600,
+            power_offset_db=40.0,
+        )
+    )
+    out = pipe.jit_step()(
+        jnp.asarray(cap.iq, jnp.complex64), jnp.asarray(cap.buoy_enu, jnp.float32)
+    )
+    est = np.asarray(out.fix.position_enu)
+    lat, lng, _ = geo.enu_to_lat_lng(jnp.asarray(est), *scen.ref_origin)
+    err = float(np.linalg.norm(est[:2] - cap.emitter_enu[0][:2]))
+    print(f"emitter (true): {scen.emitters[0].lat:.6f}, {scen.emitters[0].lng:.6f}")
+    print(f"emitter (fix):  {float(lat):.6f}, {float(lng):.6f}")
+    print(f"error: {err:.1f} m   residual rms: {float(np.asarray(out.fix.residual_rms_m)):.2f} m")
+    print(f"pair lags (samples): {np.round(np.asarray(out.correlation.lag_samples), 2).tolist()}")
+
+
+def cmd_analyze(args):
+    from radio_mapper_tpu.analyzer import analyze_directory, analyze_iq_file
+
+    kwargs = dict(
+        sample_rate_hz=args.sample_rate,
+        center_frequency_hz=args.frequency * 1e6,
+        plot_path=args.plot,
+    )
+    if args.path.endswith(".bin"):
+        print(analyze_iq_file(args.path, **kwargs).summary())
+    else:
+        for a in analyze_directory(args.path, **kwargs):
+            print(a.summary())
+            print()
+
+
+def cmd_capture(args):
+    import subprocess
+
+    out = args.output
+    if args.source == "rtl_sdr":
+        # `sdr_capture.py:13-81` parity: shell out to rtl_sdr.
+        n_bytes = args.samples * 2
+        cmd = [
+            "rtl_sdr", "-f", str(int(args.frequency * 1e6)),
+            "-s", str(int(args.sample_rate)), "-n", str(n_bytes), out,
+        ]
+        print("+", " ".join(cmd))
+        try:
+            subprocess.run(cmd, check=True, timeout=args.samples / args.sample_rate + 15)
+        except FileNotFoundError:
+            print("rtl_sdr binary not found — use --source sim for synthetic capture")
+            sys.exit(1)
+    else:
+        from radio_mapper_tpu import sim
+        from radio_mapper_tpu.ingest import SimulatedSource
+        from radio_mapper_tpu.ops import iq as iq_ops
+
+        scen = sim.default_scenario()
+        src = SimulatedSource(scen, 0)
+        data = src.read(args.samples)
+        iq_ops.save_iq_bin(out, data * 40.0)
+        print(f"wrote {args.samples} synthetic samples to {out}")
+
+
+def cmd_bench(args):
+    import bench as bench_mod
+
+    bench_mod.main()
+
+
+def cmd_test(args):
+    """Environment self-test (`run.py:246-320` parity)."""
+    import importlib
+    import socket
+
+    ok = True
+
+    def check(name, fn):
+        nonlocal ok
+        try:
+            result = fn()
+            print(f"  [PASS] {name}" + (f" — {result}" if result not in (None, True) else ""))
+        except Exception as e:
+            ok = False
+            print(f"  [FAIL] {name} — {e}")
+
+    print("Configuration:")
+    check("config defaults validate", lambda: __import__(
+        "radio_mapper_tpu.config", fromlist=["Config"]).Config().validate() and None)
+    print("Dependencies:")
+    for mod in ("jax", "numpy", "scipy", "websockets", "aiohttp", "yaml"):
+        check(f"import {mod}", lambda m=mod: importlib.import_module(m).__name__)
+    print("Compute:")
+    check("jax devices", lambda: __import__("jax").devices())
+    check("pipeline smoke (tiny)", lambda: _pipeline_smoke())
+    print("Hardware:")
+    from radio_mapper_tpu.config.autodetect import auto_detect_interfaces
+
+    report = auto_detect_interfaces()
+    print(f"  local ip: {report['local_ip']}")
+    print(f"  gps devices: {report['gps_devices'] or 'none'}")
+    print(f"  sdr count: {report['sdr_count']}")
+    print(f"  tpu: {report['tpu']}")
+    print("Ports:")
+    for port in (8081, 4000, 7000):
+        s = socket.socket()
+        try:
+            s.bind(("127.0.0.1", port))
+            print(f"  [PASS] port {port} available")
+        except OSError:
+            print(f"  [WARN] port {port} in use")
+        finally:
+            s.close()
+    sys.exit(0 if ok else 1)
+
+
+def _pipeline_smoke():
+    import numpy as np
+
+    from radio_mapper_tpu.models.pipeline import PipelineConfig, TDOAPipeline
+
+    pipe = TDOAPipeline(PipelineConfig(num_buoys=3, block_len=1024, max_lag=64,
+                                       solver_iterations=5))
+    iq, anchors = pipe.example_inputs()
+    out = pipe.jit_step()(iq, anchors)
+    assert np.all(np.isfinite(np.asarray(out.fix.position_enu)))
+    return "ok"
+
+
+def cmd_setup(args):
+    from radio_mapper_tpu.config.autodetect import auto_detect_interfaces
+    from radio_mapper_tpu.config.loader import generate_example_yaml
+
+    report = auto_detect_interfaces()
+    print("Detected interfaces:")
+    for k, v in report.items():
+        print(f"  {k}: {v}")
+    generate_example_yaml(args.output)
+    print(f"example config written to {args.output}")
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="radio_mapper_tpu", description="TPU-native TDOA geolocation framework"
+    )
+    p.add_argument("-v", "--verbose", action="store_true")
+    sub = p.add_subparsers(dest="command", required=True)
+
+    s = sub.add_parser("server", help="run the central processor")
+    s.add_argument("--host", default="0.0.0.0")
+    s.add_argument("--ws-port", type=int, default=8081)
+    s.add_argument("--http-port", type=int, default=4000)
+    s.add_argument("--min-nodes", type=int, default=3)
+    s.set_defaults(fn=cmd_server)
+
+    s = sub.add_parser("buoy", help="run a buoy node")
+    s.add_argument("--id", default="buoy-001")
+    s.add_argument("--central", default="ws://localhost:8081")
+    s.add_argument("--source", choices=["sim", "file", "rtl_sdr", "rtl_tcp"], default="sim")
+    s.add_argument("--sim-index", type=int, default=0)
+    s.add_argument("--file", help="raw uint8 I/Q .bin for --source file")
+    s.add_argument("--rtl-tcp", default="127.0.0.1:1234")
+    s.add_argument("--sample-rate", type=float, default=2_048_000.0)
+    s.add_argument("--dev", action="store_true", help="development mode (simulated GPS)")
+    s.set_defaults(fn=cmd_buoy)
+
+    s = sub.add_parser("web", help="run the web dashboard")
+    s.add_argument("--central", default="http://localhost:4000")
+    s.add_argument("--host", default="0.0.0.0")
+    s.add_argument("--port", type=int, default=7000)
+    s.set_defaults(fn=cmd_web)
+
+    s = sub.add_parser("simulate", help="synthetic scenario through the TPU pipeline")
+    s.add_argument("--lat", type=float, default=35.47)
+    s.add_argument("--lng", type=float, default=-97.51)
+    s.add_argument("--signal", default="noise", choices=["noise", "tone", "bpsk", "chirp", "fm"])
+    s.add_argument("--bandwidth", type=float, default=150e3)
+    s.add_argument("--snr", type=float, default=25.0)
+    s.add_argument("--timing-jitter-us", type=float, default=0.0)
+    s.add_argument("--seed", type=int, default=0)
+    s.set_defaults(fn=cmd_simulate)
+
+    s = sub.add_parser("analyze", help="analyze .bin IQ captures")
+    s.add_argument("path")
+    s.add_argument("--sample-rate", type=float, default=2_048_000.0)
+    s.add_argument("--frequency", type=float, default=0.0, help="center freq MHz")
+    s.add_argument("--plot", help="write spectrum PNG here")
+    s.set_defaults(fn=cmd_analyze)
+
+    s = sub.add_parser("capture", help="capture IQ to .bin")
+    s.add_argument("--source", choices=["rtl_sdr", "sim"], default="rtl_sdr")
+    s.add_argument("--frequency", type=float, default=121.5, help="MHz")
+    s.add_argument("--sample-rate", type=float, default=2_048_000.0)
+    s.add_argument("--samples", type=int, default=2_048_000)
+    s.add_argument("--output", default="iq_capture.bin")
+    s.set_defaults(fn=cmd_capture)
+
+    s = sub.add_parser("bench", help="run the throughput benchmark")
+    s.set_defaults(fn=cmd_bench)
+
+    s = sub.add_parser("test", help="environment self-test")
+    s.set_defaults(fn=cmd_test)
+
+    s = sub.add_parser("setup", help="autodetect hardware, write example config")
+    s.add_argument("--output", default="config.example.yaml")
+    s.set_defaults(fn=cmd_setup)
+
+    return p
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+    _setup_logging(args.verbose)
+    args.fn(args)
+
+
+if __name__ == "__main__":
+    main()

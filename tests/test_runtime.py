@@ -214,8 +214,11 @@ async def _central_service_live():
             ).utc_now_iso()
             await ws.send(json.dumps({"type": "signal_detection", "data": payload}))
 
-        # Give correlation a moment (solver runs in executor).
-        await asyncio.sleep(1.5)
+        # Wait for triangulation: the solve runs in an executor and the
+        # first call pays JIT compilation, so poll instead of fixed-sleep.
+        deadline = time.time() + 30.0
+        while time.time() < deadline and not central.triangulated_signals:
+            await asyncio.sleep(0.25)
 
         async with aiohttp.ClientSession() as http:
             async with http.get("http://127.0.0.1:18712/api/nodes") as r:
@@ -252,7 +255,9 @@ async def _central_service_live():
 
         for ws in conns:
             await ws.close()
-        await asyncio.sleep(0.2)
+        deadline = time.time() + 10.0
+        while time.time() < deadline and central.nodes:
+            await asyncio.sleep(0.1)
         assert len(central.nodes) == 0  # eviction on disconnect
     finally:
         await central.stop()
