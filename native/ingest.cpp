@@ -1,0 +1,248 @@
+// radio-mapper-tpu host ingest library.
+//
+// Native replacement for the reference's L0/L1 ingest stack: librtlsdr's
+// async bulk-transfer engine (Code/src/librtlsdr.c:1769-1891) and
+// rtl_tcp's buffered network transport (Code/src/rtl_tcp.c:144-365) —
+// re-scoped for a TPU host: the producer thread pulls raw uint8 I/Q from
+// a source (file replay, TCP rtl_tcp stream, or an in-process generator),
+// stamps block boundaries with CLOCK_REALTIME nanoseconds, and lands the
+// bytes in a lock-free ring; the consumer (Python, via ctypes) drains
+// fixed-size blocks ready for HBM upload. Optional decode converts uint8
+// to float32 (u8 - 127.5) with SIMD-friendly inner loops so the host can
+// hand the device either raw bytes or ready floats.
+//
+// C API (see python bindings in radio_mapper_tpu/ingest/native.py):
+//   rmt_ingest_open_file / open_tcp / open_synthetic
+//   rmt_ingest_read(handle, out_u8, nbytes, timeout_ms) -> bytes, ts_ns
+//   rmt_ingest_decode(u8, n, out_f32)  (offset-center decode)
+//   rmt_ingest_stats(handle, ...)
+//   rmt_ingest_close(handle)
+
+#include <arpa/inet.h>
+#include <netdb.h>
+#include <sys/socket.h>
+#include <unistd.h>
+
+#include <atomic>
+#include <chrono>
+#include <condition_variable>
+#include <cstdint>
+#include <cstdio>
+#include <cstring>
+#include <map>
+#include <memory>
+#include <mutex>
+#include <random>
+#include <string>
+#include <thread>
+
+#include "ring_buffer.hpp"
+
+namespace rmt {
+namespace {
+
+int64_t now_ns() {
+  return std::chrono::duration_cast<std::chrono::nanoseconds>(
+             std::chrono::system_clock::now().time_since_epoch())
+      .count();
+}
+
+struct Source {
+  virtual ~Source() = default;
+  // Fill up to n bytes; return bytes produced, 0 on EOF/stall, <0 on error.
+  virtual ssize_t pull(uint8_t* out, size_t n) = 0;
+};
+
+struct FileSource : Source {
+  FILE* f = nullptr;
+  bool loop;
+  explicit FileSource(const char* path, bool loop_) : loop(loop_) {
+    f = std::fopen(path, "rb");
+  }
+  ~FileSource() override {
+    if (f) std::fclose(f);
+  }
+  ssize_t pull(uint8_t* out, size_t n) override {
+    if (!f) return -1;
+    size_t got = std::fread(out, 1, n, f);
+    if (got == 0 && loop) {
+      std::rewind(f);
+      got = std::fread(out, 1, n, f);
+    }
+    return static_cast<ssize_t>(got);
+  }
+};
+
+struct TcpSource : Source {
+  int fd = -1;
+  TcpSource(const char* host, int port, bool rtl_tcp_header) {
+    struct addrinfo hints = {}, *res = nullptr;
+    hints.ai_family = AF_INET;
+    hints.ai_socktype = SOCK_STREAM;
+    char portstr[16];
+    std::snprintf(portstr, sizeof portstr, "%d", port);
+    if (getaddrinfo(host, portstr, &hints, &res) != 0) return;
+    fd = socket(res->ai_family, res->ai_socktype, res->ai_protocol);
+    if (fd >= 0 && connect(fd, res->ai_addr, res->ai_addrlen) != 0) {
+      close(fd);
+      fd = -1;
+    }
+    freeaddrinfo(res);
+    if (fd >= 0 && rtl_tcp_header) {
+      uint8_t hdr[12];  // "RTL0" + tuner type + gain count
+      size_t got = 0;
+      while (got < sizeof hdr) {
+        ssize_t r = recv(fd, hdr + got, sizeof hdr - got, 0);
+        if (r <= 0) break;
+        got += static_cast<size_t>(r);
+      }
+    }
+  }
+  ~TcpSource() override {
+    if (fd >= 0) close(fd);
+  }
+  ssize_t pull(uint8_t* out, size_t n) override {
+    if (fd < 0) return -1;
+    ssize_t r = recv(fd, out, n, 0);
+    return r;
+  }
+};
+
+// Deterministic uint8 noise generator — hardware-free load testing.
+struct SyntheticSource : Source {
+  std::mt19937 rng;
+  explicit SyntheticSource(uint32_t seed) : rng(seed) {}
+  ssize_t pull(uint8_t* out, size_t n) override {
+    for (size_t i = 0; i < n; i++) out[i] = static_cast<uint8_t>(rng());
+    return static_cast<ssize_t>(n);
+  }
+};
+
+struct Ingest {
+  std::unique_ptr<Source> source;
+  RingBuffer ring;
+  std::thread producer;
+  std::atomic<bool> running{true};
+  std::atomic<int64_t> last_ts_ns{0};
+  std::atomic<uint64_t> read_bytes{0};
+  std::mutex mu;
+  std::condition_variable cv;
+  int error = 0;
+
+  Ingest(std::unique_ptr<Source> src, size_t ring_bytes, size_t chunk)
+      : source(std::move(src)), ring(ring_bytes) {
+    producer = std::thread([this, chunk] {
+      std::vector<uint8_t> buf(chunk);
+      while (running.load(std::memory_order_relaxed)) {
+        ssize_t got = source->pull(buf.data(), buf.size());
+        if (got < 0) {
+          error = 1;
+          break;
+        }
+        if (got == 0) {
+          std::this_thread::sleep_for(std::chrono::milliseconds(1));
+          continue;
+        }
+        ring.write_overwrite(buf.data(), static_cast<size_t>(got));
+        last_ts_ns.store(now_ns(), std::memory_order_relaxed);
+        cv.notify_one();
+      }
+      cv.notify_all();
+    });
+  }
+
+  ~Ingest() {
+    running.store(false);
+    if (producer.joinable()) producer.join();
+  }
+};
+
+std::mutex g_mu;
+std::map<int, std::unique_ptr<Ingest>> g_handles;
+int g_next = 1;
+
+int register_handle(std::unique_ptr<Ingest> ing) {
+  std::lock_guard<std::mutex> lk(g_mu);
+  int h = g_next++;
+  g_handles[h] = std::move(ing);
+  return h;
+}
+
+Ingest* get(int h) {
+  std::lock_guard<std::mutex> lk(g_mu);
+  auto it = g_handles.find(h);
+  return it == g_handles.end() ? nullptr : it->second.get();
+}
+
+}  // namespace
+}  // namespace rmt
+
+extern "C" {
+
+int rmt_ingest_open_file(const char* path, int loop, size_t ring_bytes,
+                         size_t chunk_bytes) {
+  auto src = std::make_unique<rmt::FileSource>(path, loop != 0);
+  if (!src->f) return -1;
+  return rmt::register_handle(std::make_unique<rmt::Ingest>(
+      std::move(src), ring_bytes, chunk_bytes));
+}
+
+int rmt_ingest_open_tcp(const char* host, int port, int rtl_tcp_header,
+                        size_t ring_bytes, size_t chunk_bytes) {
+  auto src = std::make_unique<rmt::TcpSource>(host, port, rtl_tcp_header != 0);
+  if (src->fd < 0) return -1;
+  return rmt::register_handle(std::make_unique<rmt::Ingest>(
+      std::move(src), ring_bytes, chunk_bytes));
+}
+
+int rmt_ingest_open_synthetic(unsigned seed, size_t ring_bytes,
+                              size_t chunk_bytes) {
+  return rmt::register_handle(std::make_unique<rmt::Ingest>(
+      std::make_unique<rmt::SyntheticSource>(seed), ring_bytes, chunk_bytes));
+}
+
+// Blocking read of exactly nbytes (or fewer on timeout/EOF). Returns bytes
+// read; *ts_ns gets the producer's latest block timestamp.
+long rmt_ingest_read(int handle, uint8_t* out, size_t nbytes, int timeout_ms,
+                     int64_t* ts_ns) {
+  rmt::Ingest* ing = rmt::get(handle);
+  if (!ing) return -1;
+  size_t got = 0;
+  auto deadline = std::chrono::steady_clock::now() +
+                  std::chrono::milliseconds(timeout_ms);
+  while (got < nbytes) {
+    size_t r = ing->ring.read(out + got, nbytes - got);
+    got += r;
+    if (got >= nbytes) break;
+    if (ing->error && ing->ring.readable() == 0) break;
+    std::unique_lock<std::mutex> lk(ing->mu);
+    if (ing->cv.wait_until(lk, deadline) == std::cv_status::timeout) break;
+  }
+  ing->read_bytes.fetch_add(got, std::memory_order_relaxed);
+  if (ts_ns) *ts_ns = ing->last_ts_ns.load(std::memory_order_relaxed);
+  return static_cast<long>(got);
+}
+
+// uint8 interleaved I/Q -> float32 (u8 - 127.5) * scale, vector-friendly.
+void rmt_ingest_decode(const uint8_t* in, size_t n, float scale, float* out) {
+  for (size_t i = 0; i < n; i++) {
+    out[i] = (static_cast<float>(in[i]) - 127.5f) * scale;
+  }
+}
+
+void rmt_ingest_stats(int handle, uint64_t* written, uint64_t* dropped,
+                      uint64_t* consumed, int* error) {
+  rmt::Ingest* ing = rmt::get(handle);
+  if (!ing) return;
+  if (written) *written = ing->ring.total_written();
+  if (dropped) *dropped = ing->ring.total_dropped();
+  if (consumed) *consumed = ing->read_bytes.load(std::memory_order_relaxed);
+  if (error) *error = ing->error;
+}
+
+void rmt_ingest_close(int handle) {
+  std::lock_guard<std::mutex> lk(rmt::g_mu);
+  rmt::g_handles.erase(handle);
+}
+
+}  // extern "C"

@@ -1,0 +1,84 @@
+// Lock-free single-producer/single-consumer byte ring buffer.
+//
+// TPU-era replacement for the reference's ingest queues: librtlsdr's
+// 15x256KiB async USB transfer list (Code/src/librtlsdr.c:1769-1891) and
+// rtl_tcp's mutex-guarded linked list of buffers with drop-oldest at 500
+// entries (Code/src/rtl_tcp.c:144-247). One contiguous power-of-two ring,
+// acquire/release atomics, no locks on the hot path, explicit drop
+// accounting when the producer overruns the consumer.
+#pragma once
+
+#include <atomic>
+#include <cstdint>
+#include <cstring>
+#include <vector>
+
+namespace rmt {
+
+class RingBuffer {
+ public:
+  explicit RingBuffer(size_t capacity_pow2) {
+    size_t cap = 1;
+    while (cap < capacity_pow2) cap <<= 1;
+    buf_.resize(cap);
+    mask_ = cap - 1;
+  }
+
+  size_t capacity() const { return buf_.size(); }
+
+  size_t readable() const {
+    return head_.load(std::memory_order_acquire) -
+           tail_.load(std::memory_order_acquire);
+  }
+
+  size_t writable() const { return capacity() - readable(); }
+
+  // Producer: write n bytes. If the ring is full, drop the OLDEST data
+  // (advance tail) — matching rtl_tcp's drop-oldest policy so a stalled
+  // consumer sees the freshest samples, not stale ones.
+  void write_overwrite(const uint8_t* data, size_t n) {
+    if (n >= capacity()) {  // keep only the newest capacity-1 bytes
+      data += n - (capacity() - 1);
+      n = capacity() - 1;
+    }
+    size_t need = n > writable() ? n - writable() : 0;
+    if (need > 0) {
+      tail_.fetch_add(need, std::memory_order_acq_rel);
+      dropped_.fetch_add(need, std::memory_order_relaxed);
+    }
+    size_t head = head_.load(std::memory_order_relaxed);
+    size_t idx = head & mask_;
+    size_t first = std::min(n, capacity() - idx);
+    std::memcpy(buf_.data() + idx, data, first);
+    if (n > first) std::memcpy(buf_.data(), data + first, n - first);
+    head_.store(head + n, std::memory_order_release);
+    written_.fetch_add(n, std::memory_order_relaxed);
+  }
+
+  // Consumer: read up to n bytes; returns bytes actually read.
+  size_t read(uint8_t* out, size_t n) {
+    size_t avail = readable();
+    if (avail == 0) return 0;
+    n = std::min(n, avail);
+    size_t tail = tail_.load(std::memory_order_relaxed);
+    size_t idx = tail & mask_;
+    size_t first = std::min(n, capacity() - idx);
+    std::memcpy(out, buf_.data() + idx, first);
+    if (n > first) std::memcpy(out + first, buf_.data(), n - first);
+    tail_.store(tail + n, std::memory_order_release);
+    return n;
+  }
+
+  uint64_t total_written() const { return written_.load(std::memory_order_relaxed); }
+  uint64_t total_dropped() const { return dropped_.load(std::memory_order_relaxed); }
+
+ private:
+  std::vector<uint8_t> buf_;
+  size_t mask_ = 0;
+  std::atomic<uint64_t> head_{0};
+  std::atomic<uint64_t> tail_{0};
+  std::atomic<uint64_t> written_{0};
+  std::atomic<uint64_t> dropped_{0};
+};
+
+}  // namespace rmt

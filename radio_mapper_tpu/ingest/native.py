@@ -1,0 +1,180 @@
+"""ctypes bindings for the C++ host ingest library (native/libringest.so).
+
+The native layer owns the byte-moving hot path on the host: a producer
+thread pulls uint8 I/Q from file/TCP/synthetic sources into a lock-free
+ring with nanosecond block timestamps and drop accounting — the TPU-host
+equivalent of librtlsdr's async transfer engine
+(`Code/src/librtlsdr.c:1769-1891`). Python drains fixed blocks and ships
+them to the device.
+
+Builds on demand with ``make -C native`` if the shared library is absent;
+everything degrades to the pure-Python sources when no compiler exists.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+from typing import Optional, Tuple
+
+import numpy as np
+
+from radio_mapper_tpu.ingest.sources import IQSource
+
+_REPO_ROOT = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+_NATIVE_DIR = os.path.join(_REPO_ROOT, "native")
+_LIB_PATH = os.path.join(_NATIVE_DIR, "libringest.so")
+
+_lib: Optional[ctypes.CDLL] = None
+
+
+class NativeUnavailable(RuntimeError):
+    pass
+
+
+def _build() -> bool:
+    try:
+        subprocess.run(
+            ["make", "-s", "-C", _NATIVE_DIR],
+            check=True,
+            capture_output=True,
+            timeout=120,
+        )
+        return os.path.exists(_LIB_PATH)
+    except (subprocess.CalledProcessError, FileNotFoundError, subprocess.TimeoutExpired):
+        return False
+
+
+def load_library() -> ctypes.CDLL:
+    global _lib
+    if _lib is not None:
+        return _lib
+    if not os.path.exists(_LIB_PATH) and not _build():
+        raise NativeUnavailable(f"cannot build {_LIB_PATH} (no toolchain?)")
+    lib = ctypes.CDLL(_LIB_PATH)
+    lib.rmt_ingest_open_file.argtypes = [ctypes.c_char_p, ctypes.c_int, ctypes.c_size_t, ctypes.c_size_t]
+    lib.rmt_ingest_open_file.restype = ctypes.c_int
+    lib.rmt_ingest_open_tcp.argtypes = [ctypes.c_char_p, ctypes.c_int, ctypes.c_int, ctypes.c_size_t, ctypes.c_size_t]
+    lib.rmt_ingest_open_tcp.restype = ctypes.c_int
+    lib.rmt_ingest_open_synthetic.argtypes = [ctypes.c_uint, ctypes.c_size_t, ctypes.c_size_t]
+    lib.rmt_ingest_open_synthetic.restype = ctypes.c_int
+    lib.rmt_ingest_read.argtypes = [
+        ctypes.c_int, ctypes.POINTER(ctypes.c_uint8), ctypes.c_size_t,
+        ctypes.c_int, ctypes.POINTER(ctypes.c_int64),
+    ]
+    lib.rmt_ingest_read.restype = ctypes.c_long
+    lib.rmt_ingest_decode.argtypes = [
+        ctypes.POINTER(ctypes.c_uint8), ctypes.c_size_t, ctypes.c_float,
+        ctypes.POINTER(ctypes.c_float),
+    ]
+    lib.rmt_ingest_stats.argtypes = [
+        ctypes.c_int, ctypes.POINTER(ctypes.c_uint64), ctypes.POINTER(ctypes.c_uint64),
+        ctypes.POINTER(ctypes.c_uint64), ctypes.POINTER(ctypes.c_int),
+    ]
+    lib.rmt_ingest_close.argtypes = [ctypes.c_int]
+    _lib = lib
+    return lib
+
+
+class NativeIngest:
+    """Low-level handle over the native ring."""
+
+    def __init__(self, handle: int):
+        if handle < 0:
+            raise NativeUnavailable("native ingest open failed")
+        self.handle = handle
+        self.lib = load_library()
+
+    @classmethod
+    def open_file(cls, path: str, *, loop: bool = True, ring_bytes: int = 1 << 22, chunk_bytes: int = 1 << 16):
+        lib = load_library()
+        return cls(lib.rmt_ingest_open_file(path.encode(), int(loop), ring_bytes, chunk_bytes))
+
+    @classmethod
+    def open_tcp(cls, host: str, port: int, *, rtl_tcp_header: bool = True, ring_bytes: int = 1 << 22, chunk_bytes: int = 1 << 16):
+        lib = load_library()
+        return cls(lib.rmt_ingest_open_tcp(host.encode(), port, int(rtl_tcp_header), ring_bytes, chunk_bytes))
+
+    @classmethod
+    def open_synthetic(cls, seed: int = 0, *, ring_bytes: int = 1 << 22, chunk_bytes: int = 1 << 16):
+        lib = load_library()
+        return cls(lib.rmt_ingest_open_synthetic(seed, ring_bytes, chunk_bytes))
+
+    def read_bytes(self, nbytes: int, timeout_ms: int = 2000) -> Tuple[np.ndarray, int]:
+        out = np.empty(nbytes, np.uint8)
+        ts = ctypes.c_int64(0)
+        got = self.lib.rmt_ingest_read(
+            self.handle,
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            nbytes,
+            timeout_ms,
+            ctypes.byref(ts),
+        )
+        if got < 0:
+            raise IOError("native ingest read failed")
+        return out[:got], int(ts.value)
+
+    def decode(self, raw: np.ndarray, scale: float = 1.0) -> np.ndarray:
+        raw = np.ascontiguousarray(raw, np.uint8)
+        out = np.empty(raw.size, np.float32)
+        self.lib.rmt_ingest_decode(
+            raw.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            raw.size,
+            ctypes.c_float(scale),
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        )
+        return out
+
+    def stats(self) -> dict:
+        w = ctypes.c_uint64(0)
+        d = ctypes.c_uint64(0)
+        c = ctypes.c_uint64(0)
+        e = ctypes.c_int(0)
+        self.lib.rmt_ingest_stats(
+            self.handle, ctypes.byref(w), ctypes.byref(d), ctypes.byref(c), ctypes.byref(e)
+        )
+        return {
+            "bytes_written": w.value,
+            "bytes_dropped": d.value,
+            "bytes_consumed": c.value,
+            "error": e.value,
+        }
+
+    def close(self):
+        if self.handle >= 0:
+            self.lib.rmt_ingest_close(self.handle)
+            self.handle = -1
+
+    def __del__(self):  # pragma: no cover
+        try:
+            self.close()
+        except Exception:
+            pass
+
+
+class NativeRingSource(IQSource):
+    """IQSource backed by the native ring (file / rtl_tcp / synthetic)."""
+
+    def __init__(
+        self,
+        ingest: NativeIngest,
+        *,
+        sample_rate_hz: float = 2_048_000.0,
+        center_frequency_hz: float = 121.5e6,
+    ):
+        self.ingest = ingest
+        self.sample_rate_hz = sample_rate_hz
+        self.center_frequency_hz = center_frequency_hz
+        self.last_block_ts_ns = 0
+
+    def read(self, num_samples: int) -> np.ndarray:
+        raw, ts = self.ingest.read_bytes(num_samples * 2)
+        self.last_block_ts_ns = ts
+        if raw.size < num_samples * 2:
+            raw = np.pad(raw, (0, num_samples * 2 - raw.size), constant_values=127)
+        f = self.ingest.decode(raw)
+        return (f[0::2] + 1j * f[1::2]).astype(np.complex64)
+
+    def close(self) -> None:
+        self.ingest.close()
