@@ -43,9 +43,9 @@ _BACKEND = "auto"  # auto | xla | matmul
 
 
 def set_backend(name: str) -> None:
-    """Force the FFT implementation: 'xla', 'matmul', or 'auto'."""
+    """Force the FFT implementation: 'xla', 'matmul', 'pallas', or 'auto'."""
     global _BACKEND
-    if name not in ("auto", "xla", "matmul"):
+    if name not in ("auto", "xla", "matmul", "pallas"):
         raise ValueError(f"unknown fft backend {name!r}")
     _BACKEND = name
 
@@ -157,6 +157,10 @@ def fft(x: jnp.ndarray, n: Optional[int] = None, axis: int = -1) -> jnp.ndarray:
         out = fft(x, n=n, axis=-1)
         return jnp.moveaxis(out, -1, axis)
     x = _pad_or_trim(x, n)
+    if _BACKEND == "pallas":
+        from radio_mapper_tpu.ops.pallas import fft_kernel
+
+        return fft_kernel.fft(x)
     if not _use_matmul():
         return jnp.fft.fft(x, axis=-1)
     re = jnp.real(x).astype(jnp.float32)
@@ -172,6 +176,10 @@ def ifft(x: jnp.ndarray, n: Optional[int] = None, axis: int = -1) -> jnp.ndarray
         out = ifft(x, n=n, axis=-1)
         return jnp.moveaxis(out, -1, axis)
     x = _pad_or_trim(x, n)
+    if _BACKEND == "pallas":
+        from radio_mapper_tpu.ops.pallas import fft_kernel
+
+        return fft_kernel.ifft(x)
     if not _use_matmul():
         return jnp.fft.ifft(x, axis=-1)
     length = x.shape[-1]

@@ -1,0 +1,182 @@
+"""Fused four-step FFT as a single Pallas kernel.
+
+The pure-XLA matmul FFT (:mod:`radio_mapper_tpu.ops.fft`) runs each stage
+as a separate HLO: inner DFT matmul → HBM → twiddle multiply → HBM → outer
+DFT matmul. This kernel keeps the whole transform of each batch row inside
+VMEM: load [rows, N] once, run both 128-ish DFT matmuls on the MXU with the
+twiddle applied on the VPU in between, store once. For N = 16384 that is
+2·(N·N1 + N·N2) ≈ 8.4 MFLOP of MXU work against exactly 2·N·8 bytes of HBM
+traffic per row — arithmetic-intensity ≈ 64 FLOP/byte, i.e. compute-bound
+on the MXU, the roofline optimum for an FFT on this hardware.
+
+Complex data is carried as separate float32 re/im planes (the target
+runtime is shaky on complex dtype) and each complex matmul decomposes into
+4 real MXU dots. DFT/twiddle matrices are NumPy constants.
+
+Supported lengths: N = N1·N2 with N1, N2 ≤ 256 (covers every block size
+this framework uses: 1024 … 65536).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+MAX_FACTOR = 256
+
+
+def _split(n: int) -> Tuple[int, int]:
+    """(n1, n2) with n = n1·n2, n2 the largest divisor ≤ √n, n1 ≤ MAX_FACTOR."""
+    n2 = 1
+    f = 1
+    while f * f <= n:
+        if n % f == 0:
+            n2 = f
+        f += 1
+    n1 = n // n2
+    if n1 > MAX_FACTOR:
+        raise ValueError(
+            f"FFT length {n} not supported by the fused kernel (needs n1={n1} ≤ {MAX_FACTOR})"
+        )
+    return n1, n2
+
+
+@functools.lru_cache(maxsize=None)
+def _constants(n: int):
+    n1, n2 = _split(n)
+    w1 = np.exp(-2j * np.pi * np.outer(np.arange(n1), np.arange(n1)) / n1)
+    w2 = np.exp(-2j * np.pi * np.outer(np.arange(n2), np.arange(n2)) / n2)
+    tw = np.exp(-2j * np.pi * np.outer(np.arange(n2), np.arange(n1)) / n)  # [k2, n1]
+    f32 = lambda a: a.astype(np.float32)
+    return (
+        n1,
+        n2,
+        f32(w1.real), f32(w1.imag),
+        f32(w2.real), f32(w2.imag),
+        f32(tw.real), f32(tw.imag),
+    )
+
+
+def _fft_rows_kernel(
+    xre_ref, xim_ref,
+    w1re_ref, w1im_ref, w2re_ref, w2im_ref, twre_ref, twim_ref,
+    ore_ref, oim_ref,
+    *, n1: int, n2: int, rows: int,
+):
+    """One grid cell transforms `rows` rows of length n1·n2."""
+
+    dot = functools.partial(jax.lax.dot_general, preferred_element_type=jnp.float32)
+
+    w1re, w1im = w1re_ref[:], w1im_ref[:]
+    w2re, w2im = w2re_ref[:], w2im_ref[:]
+    twre, twim = twre_ref[:], twim_ref[:]
+
+    def one_row(r, _):
+        # A[n2, n1] with A[n2, n1] = x[n1 + N1·n2]
+        are = xre_ref[r, :].reshape(n2, n1)
+        aim = xim_ref[r, :].reshape(n2, n1)
+
+        # Inner DFT over n2 (rows): B[k2, n1] = Σ_n2 W2[k2,n2]·A[n2,n1].
+        dn = (((1,), (0,)), ((), ()))
+        bre = dot(w2re, are, dn) - dot(w2im, aim, dn)
+        bim = dot(w2re, aim, dn) + dot(w2im, are, dn)
+
+        # Twiddle (VPU): C[k2, n1] = B·T.
+        cre = bre * twre - bim * twim
+        cim = bre * twim + bim * twre
+
+        # Outer DFT over n1: Rt[k2, k1] = Σ_n1 C[k2,n1]·W1[n1,k1]
+        # (W1 is symmetric so W1 == W1ᵀ).
+        dn2 = (((1,), (0,)), ((), ()))
+        rtre = dot(cre, w1re, dn2) - dot(cim, w1im, dn2)
+        rtim = dot(cre, w1im, dn2) + dot(cim, w1re, dn2)
+
+        # Flat index k = k2 + N2·k1 ⇒ output layout is [k1, k2] = Rtᵀ.
+        ore_ref[r, :] = rtre.T.reshape(n1 * n2)
+        oim_ref[r, :] = rtim.T.reshape(n1 * n2)
+        return 0
+
+    jax.lax.fori_loop(0, rows, one_row, 0)
+
+
+def fft_rows(
+    re: jnp.ndarray,
+    im: jnp.ndarray,
+    *,
+    rows_per_block: int = 8,
+    interpret: Optional[bool] = None,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Batched forward FFT over the last axis of an (re, im) float32 pair.
+
+    ``re``/``im``: [..., N]; returns same shapes. N must factor into
+    N1·N2 ≤ 256². Rows are processed `rows_per_block` per grid cell with
+    all DFT constants resident in VMEM.
+    """
+    if re.shape != im.shape:
+        raise ValueError("re/im shape mismatch")
+    n = re.shape[-1]
+    n1, n2, w1re, w1im, w2re, w2im, twre, twim = _constants(n)
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+
+    batch_shape = re.shape[:-1]
+    batch = int(np.prod(batch_shape)) if batch_shape else 1
+    re2 = re.reshape(batch, n).astype(jnp.float32)
+    im2 = im.reshape(batch, n).astype(jnp.float32)
+
+    # Pad the batch to a multiple of rows_per_block.
+    padded = -(-batch // rows_per_block) * rows_per_block
+    if padded != batch:
+        pad = ((0, padded - batch), (0, 0))
+        re2 = jnp.pad(re2, pad)
+        im2 = jnp.pad(im2, pad)
+
+    grid = (padded // rows_per_block,)
+    row_spec = pl.BlockSpec(
+        (rows_per_block, n), lambda i: (i, 0), memory_space=pltpu.VMEM
+    )
+    const_spec = lambda a: pl.BlockSpec(a.shape, lambda i: (0, 0), memory_space=pltpu.VMEM)
+
+    kernel = functools.partial(_fft_rows_kernel, n1=n1, n2=n2, rows=rows_per_block)
+    out_re, out_im = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            row_spec, row_spec,
+            const_spec(w1re), const_spec(w1im),
+            const_spec(w2re), const_spec(w2im),
+            const_spec(twre), const_spec(twim),
+        ],
+        out_specs=[row_spec, row_spec],
+        out_shape=[
+            jax.ShapeDtypeStruct((padded, n), jnp.float32),
+            jax.ShapeDtypeStruct((padded, n), jnp.float32),
+        ],
+        interpret=interpret,
+    )(
+        re2, im2,
+        jnp.asarray(w1re), jnp.asarray(w1im),
+        jnp.asarray(w2re), jnp.asarray(w2im),
+        jnp.asarray(twre), jnp.asarray(twim),
+    )
+    out_re = out_re[:batch].reshape(*batch_shape, n)
+    out_im = out_im[:batch].reshape(*batch_shape, n)
+    return out_re, out_im
+
+
+def fft(x: jnp.ndarray, **kwargs) -> jnp.ndarray:
+    """complex64 wrapper over :func:`fft_rows`."""
+    re, im = fft_rows(jnp.real(x), jnp.imag(x), **kwargs)
+    return jax.lax.complex(re, im)
+
+
+def ifft(x: jnp.ndarray, **kwargs) -> jnp.ndarray:
+    n = x.shape[-1]
+    y = jnp.conj(fft(jnp.conj(x), **kwargs))
+    return y / n
