@@ -50,8 +50,9 @@ def test_synthetic_deterministic_and_stats():
     a = native.NativeIngest.open_synthetic(seed=42)
     b = native.NativeIngest.open_synthetic(seed=42)
     try:
-        ra, _ = a.read_bytes(16384)
-        rb, _ = b.read_bytes(16384)
+        # generous timeout: the full suite saturates the CPU
+        ra, _ = a.read_bytes(16384, timeout_ms=30_000)
+        rb, _ = b.read_bytes(16384, timeout_ms=30_000)
         np.testing.assert_array_equal(ra, rb)
     finally:
         a.close()
