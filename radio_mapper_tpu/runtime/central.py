@@ -45,6 +45,7 @@ from radio_mapper_tpu.runtime.datamodel import (
     utc_now_iso,
 )
 from radio_mapper_tpu.runtime.tdoa_engine import TDoAEngine
+from radio_mapper_tpu.utils.metrics import MetricsRegistry
 
 logger = logging.getLogger(__name__)
 
@@ -74,6 +75,7 @@ class CentralProcessor:
         buffer_max_age_s: float = 24 * 3600.0,
         cleanup_interval_s: float = 300.0,
         min_nodes: int = 3,
+        store=None,
     ):
         self.host = host
         self.ws_port = ws_port
@@ -88,6 +90,18 @@ class CentralProcessor:
         self.triangulated_signals: List[TriangulatedSignal] = []
         self.engine = TDoAEngine(min_buoys=min_nodes)
         self.started_at = time.time()
+        self.metrics = MetricsRegistry()
+        self.store = store  # optional utils.storage.SignalStore
+        if store is not None:
+            # Resume from persisted state (the reference loses everything on
+            # restart — SURVEY §5 "checkpoint/resume: none").
+            self.signal_buffer = store.load_detections()
+            self.triangulated_signals = store.load_fixes()
+            if self.signal_buffer or self.triangulated_signals:
+                logger.info(
+                    "Resumed %d detections, %d fixes from %s",
+                    len(self.signal_buffer), len(self.triangulated_signals), store.dir,
+                )
 
         self._ws_server = None
         self._http_runner = None
@@ -174,6 +188,9 @@ class CentralProcessor:
                 except (ValueError, TypeError):
                     pass
             self.signal_buffer.append(detection)
+            self.metrics.inc("detections_received")
+            if self.store is not None:
+                self.store.append_detection(detection)
             logger.info(
                 "Signal from %s: %.3f MHz, %.1f dBm",
                 detection.node_id,
@@ -230,9 +247,10 @@ class CentralProcessor:
                 )
                 for d in dets
             ]
-            results = await asyncio.get_event_loop().run_in_executor(
-                None, self.engine.process_signal_detections, detections
-            )
+            with self.metrics.timer("triangulation").time():
+                results = await asyncio.get_event_loop().run_in_executor(
+                    None, self.engine.process_signal_detections, detections
+                )
             for r in results:
                 signal = TriangulatedSignal(
                     signal_id=f"SIG_{uuid.uuid4().hex[:8]}",
@@ -247,6 +265,9 @@ class CentralProcessor:
                     accuracy_meters=r.accuracy_meters,
                 )
                 self.triangulated_signals.append(signal)
+                self.metrics.inc("fixes_computed")
+                if self.store is not None:
+                    self.store.append_fix(signal)
                 logger.info(
                     "Triangulated %.3f MHz at (%.6f, %.6f) ±%.1fm",
                     freq, r.estimated_lat, r.estimated_lng, r.accuracy_meters,
@@ -404,6 +425,14 @@ class CentralProcessor:
             }
         )
 
+    async def api_metrics(self, request) -> web.Response:
+        self.metrics.set_gauge("connected_nodes", len(self.nodes))
+        self.metrics.set_gauge("buffered_detections", len(self.signal_buffer))
+        self.metrics.set_gauge("uptime_seconds", time.time() - self.started_at)
+        return web.Response(
+            text=self.metrics.render_prometheus(), content_type="text/plain"
+        )
+
     async def api_index(self, request) -> web.Response:
         return web.Response(text="radio-mapper-tpu central processor")
 
@@ -415,6 +444,7 @@ class CentralProcessor:
         app.router.add_get("/api/detections", self.api_detections)
         app.router.add_post("/api/search_signal", self.api_search_signal)
         app.router.add_get("/api/system-status", self.api_system_status)
+        app.router.add_get("/metrics", self.api_metrics)
         return app
 
     # ------------------------------------------------------------ lifecycle
