@@ -15,18 +15,37 @@ correlation + solve stack running, not just the FFTs.
 (For context, the reference's per-node Python detector processes 16384
 samples every ~2 s ≈ 8 kS/s — `buoy_node.py:364,220` — and its stream
 client 8192 samples per 100 ms ≈ 82 kS/s — `iq_stream_client.py:458-459`.)
+
+Execution paths tried in order (first that works wins):
+  1. split-complex float32 pipeline (no complex dtype — the TPU-safe path);
+  2. complex64 pipeline.
 """
 
 from __future__ import annotations
 
 import json
+import sys
 import time
 
 import numpy as np
 
-
 # Per-chip share of the north-star target (see module docstring).
 BASELINE_SAMPLES_PER_S_PER_CHIP = 38_400_000.0
+
+
+def _build(num_channels, num_buoys, block_len, sample_rate_hz, max_lag):
+    from radio_mapper_tpu.models.pipeline import PipelineConfig, TDOAPipeline
+
+    return TDOAPipeline(
+        PipelineConfig(
+            num_buoys=num_buoys,
+            block_len=block_len,
+            sample_rate_hz=sample_rate_hz,
+            max_lag=max_lag,
+            max_peaks=8,
+            solver_iterations=25,
+        )
+    )
 
 
 def run_bench(
@@ -38,51 +57,56 @@ def run_bench(
     max_lag: int = 512,
     warmup: int = 2,
     iters: int = 10,
+    path: str = "auto",  # auto | split | complex
 ):
     import jax
     import jax.numpy as jnp
 
-    from radio_mapper_tpu.models.pipeline import PipelineConfig, TDOAPipeline
-
-    pipe = TDOAPipeline(
-        PipelineConfig(
-            num_buoys=num_buoys,
-            block_len=block_len,
-            sample_rate_hz=sample_rate_hz,
-            max_lag=max_lag,
-            max_peaks=8,
-            solver_iterations=25,
-        )
-    )
+    pipe = _build(num_channels, num_buoys, block_len, sample_rate_hz, max_lag)
     iq, anchors = pipe.example_inputs(batch=(num_channels,), seed=0)
-    iq = jax.device_put(iq)
-    anchors = jax.device_put(anchors)
-    step = pipe.jit_step()
 
-    for _ in range(warmup):
-        out = step(iq, anchors)
-    jax.block_until_ready(out)
+    attempts = []
+    if path in ("auto", "split"):
+        re = jnp.real(iq).astype(jnp.float32)
+        im = jnp.imag(iq).astype(jnp.float32)
+        attempts.append(("split", pipe.jit_step_split(), (re, im, anchors)))
+    if path in ("auto", "complex"):
+        attempts.append(("complex", pipe.jit_step(), (iq, anchors)))
 
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        out = step(iq, anchors)
-    jax.block_until_ready(out)
-    dt = time.perf_counter() - t0
-
-    samples_per_step = num_channels * num_buoys * block_len
-    value = samples_per_step * iters / dt
-    return value, jax.default_backend(), dt / iters
+    last_err = None
+    for name, step, args in attempts:
+        try:
+            args = jax.device_put(args)
+            for _ in range(warmup):
+                out = step(*args)
+            jax.block_until_ready(out)
+            t0 = time.perf_counter()
+            for _ in range(iters):
+                out = step(*args)
+            jax.block_until_ready(out)
+            dt = time.perf_counter() - t0
+            samples = num_channels * num_buoys * block_len * iters
+            return samples / dt, jax.default_backend(), name, dt / iters
+        except Exception as e:  # try the next path
+            last_err = e
+            print(f"# bench path {name!r} failed: {e}", file=sys.stderr)
+    raise RuntimeError(f"all bench paths failed: {last_err}")
 
 
 def main():
-    value, backend, step_s = run_bench()
+    try:
+        value, backend, path, step_s = run_bench()
+        vs = float(value) / BASELINE_SAMPLES_PER_S_PER_CHIP
+    except Exception as e:
+        print(f"# bench failed entirely: {e}", file=sys.stderr)
+        value, vs = 0.0, 0.0
     print(
         json.dumps(
             {
                 "metric": "iq_samples_per_s_per_chip",
                 "value": round(float(value), 1),
                 "unit": "samples/s/chip",
-                "vs_baseline": round(float(value) / BASELINE_SAMPLES_PER_S_PER_CHIP, 4),
+                "vs_baseline": round(vs, 4),
             }
         )
     )

@@ -32,6 +32,7 @@ from radio_mapper_tpu import constants, solver
 from radio_mapper_tpu.ops import detect as detect_ops
 from radio_mapper_tpu.ops import gcc_phat as gcc_ops
 from radio_mapper_tpu.ops import iq as iq_ops
+from radio_mapper_tpu.ops import split_complex as sc_ops
 
 
 @dataclasses.dataclass(frozen=True)
@@ -161,6 +162,63 @@ class TDOAPipeline:
     def step_uint8(self, raw: jnp.ndarray, anchors_enu: jnp.ndarray) -> PipelineOutput:
         """Pipeline from raw interleaved uint8 bytes ``[..., B, 2N]``."""
         return self.step(iq_ops.decode_uint8_iq(raw), anchors_enu)
+
+    # -- split-complex (complex-dtype-free) path -------------------------
+
+    def step_split(
+        self, re: jnp.ndarray, im: jnp.ndarray, anchors_enu: jnp.ndarray
+    ) -> PipelineOutput:
+        """Full pipeline with NO complex dtype anywhere in the program.
+
+        Identical math to :meth:`step` on (re, im) float32 pairs — the
+        execution path for TPU runtimes that mishandle complex64 (see
+        :mod:`radio_mapper_tpu.ops.split_complex`).
+        """
+        c = self.config
+        power_db = (
+            sc_ops.power_spectrum_db_split(re, im) + c.power_offset_db
+        )
+        peaks = detect_ops.detect_peaks(
+            power_db,
+            sample_rate_hz=c.sample_rate_hz,
+            max_peaks=c.max_peaks,
+            threshold_db=c.detection_threshold_db,
+        )
+        corr_sc = sc_ops.gcc_phat_all_pairs_split(
+            re, im,
+            sample_rate_hz=c.sample_rate_hz,
+            max_lag=c.max_lag,
+            weighting=c.weighting,
+            eps=c.gcc_eps,
+        )
+        corr = gcc_ops.CorrelationPeak(
+            lag_samples=corr_sc.lag_samples,
+            tau_s=corr_sc.tau_s,
+            peak_value=corr_sc.peak_value,
+            psr=corr_sc.psr,
+        )
+        weights = self.pair_weights(peaks, corr)
+        fix = self.solve(anchors_enu, corr, weights)
+        buoy_conf = jnp.max(jnp.where(peaks.valid, peaks.confidence, 0.0), axis=-1)
+        return PipelineOutput(
+            peaks=peaks,
+            correlation=corr,
+            pair_weights=weights,
+            fix=fix,
+            buoy_confidence=buoy_conf,
+        )
+
+    def step_split_uint8(
+        self, raw: jnp.ndarray, anchors_enu: jnp.ndarray
+    ) -> PipelineOutput:
+        re, im = sc_ops.decode_uint8_split(raw)
+        return self.step_split(re, im, anchors_enu)
+
+    def jit_step_split(self):
+        return jax.jit(self.step_split)
+
+    def jit_step_split_uint8(self):
+        return jax.jit(self.step_split_uint8)
 
     def jit_step(self):
         return jax.jit(self.step)

@@ -1,0 +1,137 @@
+"""Split-complex (re, im) float32 versions of the hot pipeline stages.
+
+The target TPU runtime executes float32 programs reliably but is
+unreliable on the complex64 dtype (native FFT UNIMPLEMENTED; complex
+execution paths flaky), and complex arithmetic lowers to real mul/adds
+anyway. This module provides the full detect + GCC-PHAT chain on explicit
+(re, im) float32 pairs — no complex dtype anywhere in the traced program —
+sharing the DFT-matmul machinery of :mod:`radio_mapper_tpu.ops.fft`.
+
+Numerically identical to the complex path (same operations in the same
+order); tested against it bit-for-bit-ish (≤1e-5) on CPU.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from radio_mapper_tpu.ops import fft as fft_ops
+from radio_mapper_tpu.ops import gcc_phat as gcc
+from radio_mapper_tpu.ops.iq import UINT8_OFFSET
+
+
+class CorrelationPeakSC(NamedTuple):
+    lag_samples: jnp.ndarray
+    tau_s: jnp.ndarray
+    peak_value: jnp.ndarray
+    psr: jnp.ndarray
+
+
+def decode_uint8_split(raw: jnp.ndarray, *, scale: float = 1.0) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """uint8 interleaved I/Q → (re, im) float32 (no complex dtype)."""
+    f = (raw.astype(jnp.float32) - UINT8_OFFSET) * jnp.float32(scale)
+    d = f.reshape(*f.shape[:-1], f.shape[-1] // 2, 2)
+    return d[..., 0], d[..., 1]
+
+
+def power_spectrum_db_split(re: jnp.ndarray, im: jnp.ndarray) -> jnp.ndarray:
+    """20·log10|FFT| from split parts (matches spectral.power_spectrum_db)."""
+    fre, fim = fft_ops.fft_re_im(re, im)
+    return 10.0 * jnp.log10(fre * fre + fim * fim + 1e-24)
+
+
+def _ifft_re_im(re: jnp.ndarray, im: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Inverse DFT via conj trick, all-real arithmetic."""
+    n = re.shape[-1]
+    yre, yim = fft_ops.fft_re_im(re, -im)
+    return yre / n, -yim / n
+
+
+def cross_correlate_split(
+    xre: jnp.ndarray, xim: jnp.ndarray,
+    yre: jnp.ndarray, yim: jnp.ndarray,
+    *,
+    max_lag: int,
+    weighting: str = "phat",
+    eps: float = 0.05,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Split-complex mirror of :func:`radio_mapper_tpu.ops.gcc_phat.cross_correlate`."""
+    n = xre.shape[-1]
+    if max_lag >= n:
+        raise ValueError(f"max_lag {max_lag} must be < block length {n}")
+    nfft = gcc.next_pow2(n + max_lag)
+    pad = lambda a: jnp.pad(a, [(0, 0)] * (a.ndim - 1) + [(0, nfft - n)])
+    xfr, xfi = fft_ops.fft_re_im(pad(xre), pad(xim))
+    yfr, yfi = fft_ops.fft_re_im(pad(yre), pad(yim))
+    # R = X · conj(Y)
+    rre = xfr * yfr + xfi * yfi
+    rim = xfi * yfr - xfr * yfi
+    if weighting != "cc":
+        mag = jnp.sqrt(rre * rre + rim * rim)
+        if weighting == "phat":
+            denom_base = mag
+        elif weighting == "scot":
+            denom_base = jnp.sqrt((xfr * xfr + xfi * xfi) * (yfr * yfr + yfi * yfi))
+        elif weighting == "roth":
+            denom_base = xfr * xfr + xfi * xfi
+        else:
+            raise ValueError(f"unknown weighting {weighting!r}")
+        scale = jnp.max(denom_base, axis=-1, keepdims=True)
+        denom = denom_base + eps * scale + 1e-30
+        rre = rre / denom
+        rim = rim / denom
+    cre, cim = _ifft_re_im(rre, rim)
+    take = lambda a: jnp.concatenate(
+        [a[..., nfft - max_lag :], a[..., : max_lag + 1]], axis=-1
+    )
+    return take(cre), take(cim)
+
+
+def gcc_phat_split(
+    xre, xim, yre, yim,
+    *,
+    sample_rate_hz: float,
+    max_lag: int,
+    weighting: str = "phat",
+    eps: float = 0.05,
+    psr_exclude: int = 8,
+) -> CorrelationPeakSC:
+    cre, cim = cross_correlate_split(
+        xre, xim, yre, yim, max_lag=max_lag, weighting=weighting, eps=eps
+    )
+    m = jnp.sqrt(cre * cre + cim * cim)
+    k = jnp.argmax(m, axis=-1)
+    delta = gcc.parabolic_refine(m, k)
+    lag = k.astype(jnp.float32) - jnp.float32(max_lag) + delta
+    peak = jnp.take_along_axis(m, k[..., None], axis=-1)[..., 0]
+    return CorrelationPeakSC(
+        lag_samples=lag,
+        tau_s=lag / jnp.float32(sample_rate_hz),
+        peak_value=peak,
+        psr=gcc.peak_to_sidelobe(m, k, exclude=psr_exclude),
+    )
+
+
+def gcc_phat_all_pairs_split(
+    sig_re: jnp.ndarray,
+    sig_im: jnp.ndarray,
+    *,
+    sample_rate_hz: float,
+    max_lag: int,
+    weighting: str = "phat",
+    eps: float = 0.05,
+) -> CorrelationPeakSC:
+    """All-pairs over the receiver axis; inputs ``[..., B, N]`` f32 pairs."""
+    b = sig_re.shape[-2]
+    i_idx, j_idx = gcc.pair_indices(b)
+    gi = lambda a: jnp.take(a, jnp.asarray(i_idx), axis=-2)
+    gj = lambda a: jnp.take(a, jnp.asarray(j_idx), axis=-2)
+    return gcc_phat_split(
+        gi(sig_re), gi(sig_im), gj(sig_re), gj(sig_im),
+        sample_rate_hz=sample_rate_hz, max_lag=max_lag,
+        weighting=weighting, eps=eps,
+    )

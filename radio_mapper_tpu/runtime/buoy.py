@@ -25,7 +25,8 @@ import dataclasses
 import json
 import logging
 import time
-from typing import List, Optional
+from collections import deque
+from typing import List, Optional, Tuple
 
 import numpy as np
 
@@ -36,6 +37,7 @@ from radio_mapper_tpu.runtime.datamodel import (
     BuoyStatus,
     NumpyJSONEncoder,
     SignalDetection,
+    parse_iso,
     utc_now_iso,
 )
 from radio_mapper_tpu.runtime.gps import GPSTimeSource
@@ -59,6 +61,8 @@ class BuoyNodeConfig:
     detection_threshold_db: float = constants.DEFAULT_DETECTION_THRESHOLD_DBM
     reconnect_min_s: float = 5.0
     reconnect_max_s: float = 60.0
+    history_size: int = 1000  # `iq_stream_client.py:179`
+    snippet_samples: int = 256  # `iq_stream_client.py:306`
 
 
 class BuoyNode:
@@ -77,6 +81,7 @@ class BuoyNode:
         self.schedule = constants.DEFAULT_SCAN_SCHEDULE
         self.queue: asyncio.Queue = asyncio.Queue(maxsize=1000)
         self.signals_detected = 0
+        self.signal_history: deque = deque(maxlen=config.history_size)
         self.started_at = time.time()
         self.latest_detection_ts: Optional[str] = None
         self.running = False
@@ -102,6 +107,18 @@ class BuoyNode:
 
             self._detect_jit = jax.jit(fn)
         return self._detect_jit
+
+    def extract_snippet(self, iq: np.ndarray, peak_bin: int) -> np.ndarray:
+        """IQ snippet for pattern matching (`iq_stream_client.py:306-315`).
+
+        The reference indexes the time series with the FFT *frequency* bin —
+        a category error that happens to return an arbitrary slice. Here we
+        take the block-centered time slice (well-defined, and the snippet
+        carries the detected signal since it spans the whole dwell).
+        """
+        n = self.config.snippet_samples
+        start = max(0, (len(iq) - n) // 2)
+        return np.asarray(iq[start : start + n])
 
     def detect_block(self, iq: np.ndarray, center_frequency_hz: float) -> List[SignalDetection]:
         """Run the jitted detector on one block and materialize detections."""
@@ -152,9 +169,37 @@ class BuoyNode:
             None, self.detect_block, iq, center_hz
         )
         for d in detections:
+            self.signal_history.append(d)
             if d.signal_type == "emergency":
                 logger.warning("EMERGENCY SIGNAL DETECTED: %.3f MHz", d.frequency_mhz)
         return detections
+
+    def search_signal_history(
+        self,
+        frequency_mhz: Optional[float] = None,
+        frequency_range_mhz: Optional[Tuple[float, float]] = None,
+        max_age_minutes: float = 60.0,
+    ) -> List[SignalDetection]:
+        """Search the local detection ring (`iq_stream_client.py:317-344`):
+        ±0.01 MHz point match or range match, age-gated."""
+        now = time.time()
+        matches = []
+        for det in self.signal_history:
+            try:
+                age_min = (now - parse_iso(det.timestamp_utc).timestamp()) / 60.0
+            except (ValueError, TypeError):
+                continue
+            if age_min > max_age_minutes:
+                continue
+            if frequency_mhz is not None:
+                if abs(det.frequency_mhz - frequency_mhz) >= 0.01:
+                    continue
+            elif frequency_range_mhz is not None:
+                lo, hi = frequency_range_mhz
+                if not (lo <= det.frequency_mhz <= hi):
+                    continue
+            matches.append(det)
+        return matches
 
     async def _scan_loop(self):
         while self.running:
@@ -228,7 +273,27 @@ class BuoyNode:
             except json.JSONDecodeError:
                 continue
             mtype = data.get("type")
-            if mtype == "triangulation_result":
+            if mtype == "signal_search_request":
+                req = data.get("data", {})
+                matches = self.search_signal_history(
+                    frequency_mhz=req.get("frequency_mhz"),
+                    frequency_range_mhz=tuple(req["frequency_range_mhz"])
+                    if req.get("frequency_range_mhz")
+                    else None,
+                    max_age_minutes=req.get("max_age_minutes", 60.0),
+                )
+                await ws.send(
+                    json.dumps(
+                        {
+                            "type": "signal_search_response",
+                            "request_id": req.get("request_id"),
+                            "node_id": self.config.buoy_id,
+                            "matches": [dataclasses.asdict(m) for m in matches],
+                        },
+                        cls=NumpyJSONEncoder,
+                    )
+                )
+            elif mtype == "triangulation_result":
                 d = data.get("data", {})
                 logger.info(
                     "Triangulation result: %.3f MHz at (%.6f, %.6f)",
