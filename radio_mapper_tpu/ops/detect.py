@@ -24,6 +24,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from radio_mapper_tpu import constants
+from radio_mapper_tpu.ops import safe
 from radio_mapper_tpu.ops.spectral import power_spectrum_db, fft_frequencies_hz
 
 
@@ -40,7 +41,13 @@ class PeakSet(NamedTuple):
 
 
 def sliding_local_max(x: jnp.ndarray, radius: int) -> jnp.ndarray:
-    """True where ``x`` equals the max of its ±radius window (last axis)."""
+    """True where ``x`` equals the max of its ±radius window (last axis).
+
+    Safe mode uses circular roll-doubling (semantically right for spectra,
+    whose bin index wraps); stock mode uses reduce_window with −inf pads.
+    """
+    if safe.enabled():
+        return x >= safe.sliding_max(x, radius)
     w = 2 * radius + 1
     ndim = x.ndim
     window_dims = (1,) * (ndim - 1) + (w,)
@@ -73,7 +80,9 @@ def detect_peaks(
     f = power_db.shape[-1]
     freqs = fft_frequencies_hz(f, sample_rate_hz)  # static numpy
 
-    noise_floor = jnp.median(power_db, axis=-1)
+    noise_floor = (
+        safe.median_bisect(power_db) if safe.enabled() else jnp.median(power_db, axis=-1)
+    )
 
     candidate = sliding_local_max(power_db, min_distance_bins)
     candidate = jnp.logical_and(candidate, power_db > threshold_db)
@@ -86,12 +95,20 @@ def detect_peaks(
     candidate = jnp.logical_and(candidate, confidence >= confidence_floor)
 
     score = jnp.where(candidate, power_db, -jnp.inf)
-    top_vals, top_idx = jax.lax.top_k(score, max_peaks)
+    if safe.enabled():
+        top_vals, top_idx = safe.top_k(score, max_peaks)
+        peak_snr = safe.take_many_last(snr_db, top_idx)
+        peak_conf = safe.take_many_last(confidence, top_idx)
+        freq_table = jnp.broadcast_to(
+            jnp.asarray(freqs, jnp.float32), power_db.shape
+        )
+        peak_freq = safe.take_many_last(freq_table, top_idx)
+    else:
+        top_vals, top_idx = jax.lax.top_k(score, max_peaks)
+        peak_snr = jnp.take_along_axis(snr_db, top_idx, axis=-1)
+        peak_conf = jnp.take_along_axis(confidence, top_idx, axis=-1)
+        peak_freq = jnp.asarray(freqs, jnp.float32)[top_idx]
     valid = jnp.isfinite(top_vals)
-
-    peak_snr = jnp.take_along_axis(snr_db, top_idx, axis=-1)
-    peak_conf = jnp.take_along_axis(confidence, top_idx, axis=-1)
-    peak_freq = jnp.asarray(freqs, jnp.float32)[top_idx]
 
     zero = jnp.zeros_like(peak_snr)
     return PeakSet(

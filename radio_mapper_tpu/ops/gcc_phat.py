@@ -32,6 +32,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from radio_mapper_tpu.ops import fft as fft_ops
+from radio_mapper_tpu.ops import safe
 
 WEIGHTINGS = ("cc", "phat", "scot", "roth")
 
@@ -120,9 +121,14 @@ def parabolic_refine(m: jnp.ndarray, k: jnp.ndarray) -> jnp.ndarray:
     """
     length = m.shape[-1]
     kc = jnp.clip(k, 1, length - 2)
-    ym1 = jnp.take_along_axis(m, (kc - 1)[..., None], axis=-1)[..., 0]
-    y0 = jnp.take_along_axis(m, kc[..., None], axis=-1)[..., 0]
-    yp1 = jnp.take_along_axis(m, (kc + 1)[..., None], axis=-1)[..., 0]
+    if safe.enabled():
+        ym1 = safe.take1_last(m, kc - 1)
+        y0 = safe.take1_last(m, kc)
+        yp1 = safe.take1_last(m, kc + 1)
+    else:
+        ym1 = jnp.take_along_axis(m, (kc - 1)[..., None], axis=-1)[..., 0]
+        y0 = jnp.take_along_axis(m, kc[..., None], axis=-1)[..., 0]
+        yp1 = jnp.take_along_axis(m, (kc + 1)[..., None], axis=-1)[..., 0]
     denom = ym1 - 2.0 * y0 + yp1
     delta = 0.5 * (ym1 - yp1) / jnp.where(jnp.abs(denom) < 1e-12, 1.0, denom)
     delta = jnp.where(jnp.abs(denom) < 1e-12, 0.0, delta)
@@ -143,7 +149,11 @@ def peak_to_sidelobe(m: jnp.ndarray, k: jnp.ndarray, *, exclude: int = 8) -> jnp
     dist = jnp.abs(idx - k[..., None])
     side = jnp.where(dist > exclude, m, -jnp.inf)
     side_max = jnp.max(side, axis=-1)
-    peak = jnp.take_along_axis(m, k[..., None], axis=-1)[..., 0]
+    peak = (
+        safe.take1_last(m, k)
+        if safe.enabled()
+        else jnp.take_along_axis(m, k[..., None], axis=-1)[..., 0]
+    )
     return peak / (jnp.maximum(side_max, 0.0) + 1e-12)
 
 
@@ -160,10 +170,14 @@ def gcc_phat(
     """Sub-sample TDOA between ``x`` and ``y`` (positive ⇒ x arrived later)."""
     corr = cross_correlate(x, y, max_lag=max_lag, weighting=weighting, eps=eps)
     m = jnp.abs(corr)
-    k = jnp.argmax(m, axis=-1)
+    k = safe.argmax_last(m) if safe.enabled() else jnp.argmax(m, axis=-1)
     delta = parabolic_refine(m, k)
     lag = k.astype(jnp.float32) - jnp.float32(max_lag) + delta
-    peak = jnp.take_along_axis(m, k[..., None], axis=-1)[..., 0]
+    peak = (
+        safe.take1_last(m, k)
+        if safe.enabled()
+        else jnp.take_along_axis(m, k[..., None], axis=-1)[..., 0]
+    )
     return CorrelationPeak(
         lag_samples=lag,
         tau_s=lag / jnp.float32(sample_rate_hz),

@@ -1,0 +1,126 @@
+"""Safe-mode primitives: sort-, gather- and argmax-free reductions.
+
+The target TPU runtime implements a subset of XLA reliably (elementwise
+f32, matmuls, plain reductions) while richer ops (variadic sort, top-k,
+gather) are unproven. These equivalents use only comparisons, reductions,
+`jnp.roll` and iota — and several are *faster* than the originals on TPU
+(a 20-step bisection median is far cheaper than sorting 16384 floats; a
+one-hot matmul gather rides the MXU).
+
+Selection: each consumer calls :func:`enabled` — by default safe mode is
+on when the backend is TPU and off elsewhere (CPU keeps exact stock XLA
+ops). Numerics: median is bisected to ~1e-4 of the value range (well under
+detection tolerances); everything else is exact, with stock tie-breaking
+(lowest index wins).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+_MODE: Optional[bool] = None  # None = auto (TPU → on)
+
+
+def set_safe_mode(on: Optional[bool]) -> None:
+    """Force safe mode on/off, or None to restore auto (TPU → on).
+
+    The flag is consulted at *trace* time: set it before building jitted
+    functions; already-compiled programs keep the mode they were traced
+    with (it is not part of the jit cache key).
+    """
+    global _MODE
+    _MODE = on
+
+
+def enabled() -> bool:
+    if _MODE is not None:
+        return _MODE
+    return jax.default_backend() == "tpu"
+
+
+def argmax_last(x: jnp.ndarray) -> jnp.ndarray:
+    """argmax over the last axis via max + masked index-min (no argmax op)."""
+    n = x.shape[-1]
+    m = jnp.max(x, axis=-1, keepdims=True)
+    idx = jax.lax.broadcasted_iota(jnp.int32, x.shape, x.ndim - 1)
+    masked = jnp.where(x >= m, idx, n)
+    return jnp.min(masked, axis=-1)
+
+
+def take1_last(x: jnp.ndarray, k: jnp.ndarray) -> jnp.ndarray:
+    """x[..., k] for per-batch integer k (no gather: one-hot reduction).
+
+    Uses `where`, not multiply — ±inf entries must select cleanly instead
+    of producing inf·0 = NaN.
+    """
+    idx = jax.lax.broadcasted_iota(jnp.int32, x.shape, x.ndim - 1)
+    onehot = idx == k[..., None]
+    return jnp.sum(jnp.where(onehot, x, jnp.zeros_like(x)), axis=-1)
+
+
+def take_many_last(x: jnp.ndarray, k: jnp.ndarray) -> jnp.ndarray:
+    """x[..., k_j] for a small index set k ``[..., K]`` (K one-hot sums)."""
+    outs = [take1_last(x, k[..., j]) for j in range(k.shape[-1])]
+    return jnp.stack(outs, axis=-1)
+
+
+def sliding_max(x: jnp.ndarray, radius: int) -> jnp.ndarray:
+    """Max over a ±radius window along the last axis, with *circular* edges.
+
+    Spectra are circular in bin index, so wraparound is the semantically
+    correct boundary (stock reduce_window pads with −inf instead; the two
+    differ only within `radius` bins of the array ends). Log-doubling:
+    O(log radius) rolls instead of 2·radius.
+    """
+    result = x
+    span = 1
+    shift = 1
+    while span < 2 * radius + 1:
+        step = min(shift, 2 * radius + 1 - span)
+        result = jnp.maximum(result, jnp.roll(result, step, axis=-1))
+        span += step
+        shift *= 2
+    # `result[i]` now holds max over [i - span + 1, i]; recenter so the
+    # window is symmetric about i.
+    return jnp.roll(result, -radius, axis=-1)
+
+
+def median_bisect(x: jnp.ndarray, iters: int = 24) -> jnp.ndarray:
+    """Approximate median over the last axis by value-range bisection.
+
+    Pure comparisons + mean-reductions; after ``iters`` steps the answer is
+    within (max−min)/2^iters. For dB spectra (range ≲ 300 dB) 24 iters give
+    ≪1e-4 dB error.
+    """
+    lo = jnp.min(x, axis=-1)
+    hi = jnp.max(x, axis=-1)
+
+    def body(_, carry):
+        lo, hi = carry
+        mid = 0.5 * (lo + hi)
+        frac = jnp.mean((x <= mid[..., None]).astype(jnp.float32), axis=-1)
+        below = frac < 0.5
+        return jnp.where(below, mid, lo), jnp.where(below, hi, mid)
+
+    lo, hi = jax.lax.fori_loop(0, iters, body, (lo, hi))
+    return 0.5 * (lo + hi)
+
+
+def top_k(x: jnp.ndarray, k: int) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """(values, indices) of the k largest entries, descending (stock
+    tie-break: lowest index first). k iterations of masked argmax."""
+    vals = []
+    idxs = []
+    work = x
+    neg_inf = jnp.asarray(-jnp.inf, x.dtype)
+    iota = jax.lax.broadcasted_iota(jnp.int32, x.shape, x.ndim - 1)
+    for _ in range(k):
+        i = argmax_last(work)
+        v = take1_last(work, i)
+        vals.append(v)
+        idxs.append(i)
+        work = jnp.where(iota == i[..., None], neg_inf, work)
+    return jnp.stack(vals, axis=-1), jnp.stack(idxs, axis=-1)

@@ -21,6 +21,7 @@ import numpy as np
 
 from radio_mapper_tpu.ops import fft as fft_ops
 from radio_mapper_tpu.ops import gcc_phat as gcc
+from radio_mapper_tpu.ops import safe
 from radio_mapper_tpu.ops.iq import UINT8_OFFSET
 
 
@@ -104,10 +105,14 @@ def gcc_phat_split(
         xre, xim, yre, yim, max_lag=max_lag, weighting=weighting, eps=eps
     )
     m = jnp.sqrt(cre * cre + cim * cim)
-    k = jnp.argmax(m, axis=-1)
+    k = safe.argmax_last(m) if safe.enabled() else jnp.argmax(m, axis=-1)
     delta = gcc.parabolic_refine(m, k)
     lag = k.astype(jnp.float32) - jnp.float32(max_lag) + delta
-    peak = jnp.take_along_axis(m, k[..., None], axis=-1)[..., 0]
+    peak = (
+        safe.take1_last(m, k)
+        if safe.enabled()
+        else jnp.take_along_axis(m, k[..., None], axis=-1)[..., 0]
+    )
     return CorrelationPeakSC(
         lag_samples=lag,
         tau_s=lag / jnp.float32(sample_rate_hz),

@@ -68,6 +68,33 @@ def _residuals_and_jac(x, anchors, pair_i, pair_j, dd):
     return r, ui - uj
 
 
+def _solve3(a, b):
+    """Solve a·x = b for batched 3×3 systems via the adjugate (Cramer).
+
+    Branch-free closed form — avoids depending on jnp.linalg.solve's LU
+    lowering (unproven on the target runtime) and is faster for 3×3.
+    """
+    a00, a01, a02 = a[..., 0, 0], a[..., 0, 1], a[..., 0, 2]
+    a10, a11, a12 = a[..., 1, 0], a[..., 1, 1], a[..., 1, 2]
+    a20, a21, a22 = a[..., 2, 0], a[..., 2, 1], a[..., 2, 2]
+    c00 = a11 * a22 - a12 * a21
+    c01 = a12 * a20 - a10 * a22
+    c02 = a10 * a21 - a11 * a20
+    det = a00 * c00 + a01 * c01 + a02 * c02
+    inv_det = 1.0 / jnp.where(jnp.abs(det) < 1e-20, 1e-20, det)
+    c10 = a02 * a21 - a01 * a22
+    c11 = a00 * a22 - a02 * a20
+    c12 = a01 * a20 - a00 * a21
+    c20 = a01 * a12 - a02 * a11
+    c21 = a02 * a10 - a00 * a12
+    c22 = a00 * a11 - a01 * a10
+    b0, b1, b2 = b[..., 0], b[..., 1], b[..., 2]
+    x0 = (c00 * b0 + c10 * b1 + c20 * b2) * inv_det
+    x1 = (c01 * b0 + c11 * b1 + c21 * b2) * inv_det
+    x2 = (c02 * b0 + c12 * b1 + c22 * b2) * inv_det
+    return jnp.stack([x0, x1, x2], axis=-1)
+
+
 def _weighted_cost(x, anchors, pair_i, pair_j, dd, w):
     r, _ = _residuals_and_jac(x, anchors, pair_i, pair_j, dd)
     wsum = jnp.sum(w, axis=-1) + 1e-12
@@ -141,7 +168,7 @@ def solve_tdoa(
         diag = jnp.diagonal(h, axis1=-2, axis2=-1)
         damp = lam[..., None] * jnp.maximum(diag, 1e-6) + 1e-6
         h_damped = h + jnp.eye(3, dtype=h.dtype) * damp[..., None, :]
-        delta = jnp.linalg.solve(h_damped, -g[..., None])[..., 0] * dim_mask
+        delta = _solve3(h_damped, -g) * dim_mask
         x_new = x + delta
         cost_new = cost_fn(x_new)
         improved = cost_new < cost
