@@ -157,6 +157,80 @@ def cmd_capture(args):
         print(f"wrote {args.samples} synthetic samples to {out}")
 
 
+def cmd_scan(args):
+    """rtl_power-style wideband survey to CSV."""
+    from radio_mapper_tpu.tools import power_scan
+
+    if args.source == "sim":
+        from radio_mapper_tpu import sim
+        from radio_mapper_tpu.ingest import SimulatedSource
+
+        source = SimulatedSource(sim.default_scenario(signal="tone"), 0)
+    elif args.source == "rtl_tcp":
+        from radio_mapper_tpu.net.rtl_tcp import RtlTcpSource
+
+        host, _, port = args.rtl_tcp.partition(":")
+        source = RtlTcpSource(host, int(port or 1234), sample_rate_hz=args.sample_rate)
+    else:
+        from radio_mapper_tpu.ingest import RtlSdrProcessSource
+
+        source = RtlSdrProcessSource(sample_rate_hz=args.sample_rate)
+    lines = power_scan.scan_to_csv(
+        source,
+        args.freq_lo * 1e6,
+        args.freq_hi * 1e6,
+        bin_hz=args.bin_hz,
+        integration_s=args.integration,
+        out_path=args.output,
+        passes=args.passes,
+    )
+    if not args.output:
+        for line in lines:
+            print(line)
+    else:
+        print(f"wrote {len(lines)} rows to {args.output}")
+
+
+def cmd_stream(args):
+    """Continuous streaming TDOA over a simulated scenario (config-3 demo)."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    from radio_mapper_tpu import sim
+    from radio_mapper_tpu.models.streaming_tdoa import StreamingTDOA, StreamingTDOAConfig
+
+    scen = sim.default_scenario(
+        signal="noise", bandwidth_hz=args.bandwidth, snr_db=args.snr,
+        block_len=args.block_len * args.blocks,
+    )
+    cap = sim.synthesize(scen)
+    st = StreamingTDOA(
+        StreamingTDOAConfig(
+            num_buoys=len(scen.buoys),
+            num_subchannels=args.subchannels,
+            sample_rate_hz=scen.sample_rate_hz,
+            block_len=args.block_len,
+            max_lag=args.max_lag,
+        )
+    )
+    anchors = jnp.asarray(cap.buoy_enu, jnp.float32)
+    state = st.init_state()
+    step = st.jit_step()
+    for k in range(args.blocks):
+        blk = jnp.asarray(
+            cap.iq[:, k * args.block_len : (k + 1) * args.block_len], jnp.complex64
+        )
+        state, out = step(state, blk, anchors)
+        w = np.asarray(out.weights)
+        best = int(np.argmax(w.sum(axis=-1)))
+        est = np.asarray(out.fixes_enu)[best]
+        err = np.linalg.norm(est[:2] - cap.emitter_enu[0][:2])
+        print(
+            f"block {k}: best subchannel {best}  fix ENU=({est[0]:.0f},{est[1]:.0f})  "
+            f"err={err:.0f} m  mean psr={np.asarray(out.psr)[best].mean():.2f}"
+        )
+
+
 def cmd_bench(args):
     import bench as bench_mod
 
@@ -289,6 +363,27 @@ def build_parser() -> argparse.ArgumentParser:
     s.add_argument("--samples", type=int, default=2_048_000)
     s.add_argument("--output", default="iq_capture.bin")
     s.set_defaults(fn=cmd_capture)
+
+    s = sub.add_parser("scan", help="wideband power survey (rtl_power CSV)")
+    s.add_argument("freq_lo", type=float, help="MHz")
+    s.add_argument("freq_hi", type=float, help="MHz")
+    s.add_argument("--source", choices=["sim", "rtl_tcp", "rtl_sdr"], default="sim")
+    s.add_argument("--rtl-tcp", default="127.0.0.1:1234")
+    s.add_argument("--sample-rate", type=float, default=2_048_000.0)
+    s.add_argument("--bin-hz", type=float, default=10_000.0)
+    s.add_argument("--integration", type=float, default=1.0)
+    s.add_argument("--passes", type=int, default=1)
+    s.add_argument("--output", help="append CSV rows to this file")
+    s.set_defaults(fn=cmd_scan)
+
+    s = sub.add_parser("stream", help="continuous streaming TDOA demo")
+    s.add_argument("--blocks", type=int, default=4)
+    s.add_argument("--block-len", type=int, default=16_384)
+    s.add_argument("--subchannels", type=int, default=8)
+    s.add_argument("--max-lag", type=int, default=8)
+    s.add_argument("--bandwidth", type=float, default=110e3)
+    s.add_argument("--snr", type=float, default=25.0)
+    s.set_defaults(fn=cmd_stream)
 
     s = sub.add_parser("bench", help="run the throughput benchmark")
     s.set_defaults(fn=cmd_bench)

@@ -24,6 +24,7 @@ from __future__ import annotations
 from functools import lru_cache
 from typing import NamedTuple
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -86,7 +87,10 @@ def channelize(
     # Frame: window of T consecutive columns per output sample, stride 1 col.
     idx = np.arange(num_frames)[:, None] + np.arange(t)[None, :]  # [F, T]
     frames = cols[..., idx, :]  # [..., F, T, M]
-    filtered = jnp.einsum("...ftm,tm->...fm", frames, h.astype(x.dtype))
+    filtered = jnp.einsum(
+        "...ftm,tm->...fm", frames, h.astype(x.dtype),
+        precision=jax.lax.Precision.HIGHEST,
+    )
 
     # Branch FFT; channel c of the FFT corresponds to offset c·fs/M (aliased).
     ch = fft_ops.fft(filtered, axis=-1)  # [..., F, M]

@@ -92,17 +92,22 @@ def _split_length(n: int) -> Tuple[int, int]:
     return best, n // best
 
 
+# TPU MXUs multiply in bfloat16 by default (~8 mantissa bits — 1e-2 class
+# error on a DFT). HIGHEST requests the multi-pass f32 algorithm, which the
+# 0.1-sample TDOA budget needs; on CPU it is a no-op.
+_PRECISION = jax.lax.Precision.HIGHEST
+
+
 def _dft_direct(re: jnp.ndarray, im: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
     n = re.shape[-1]
     w_re, w_im = _dft_matrix(n)
     w_re = jnp.asarray(w_re)
     w_im = jnp.asarray(w_im)
-    y_re = jnp.dot(re, w_re, preferred_element_type=jnp.float32) - jnp.dot(
-        im, w_im, preferred_element_type=jnp.float32
+    dot = lambda a, b: jnp.dot(
+        a, b, preferred_element_type=jnp.float32, precision=_PRECISION
     )
-    y_im = jnp.dot(re, w_im, preferred_element_type=jnp.float32) + jnp.dot(
-        im, w_re, preferred_element_type=jnp.float32
-    )
+    y_re = dot(re, w_re) - dot(im, w_im)
+    y_im = dot(re, w_im) + dot(im, w_re)
     return y_re, y_im
 
 
@@ -131,12 +136,12 @@ def _fft_re_im(re: jnp.ndarray, im: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarr
     w_re, w_im = _dft_matrix(n1)
     w_re = jnp.asarray(w_re)
     w_im = jnp.asarray(w_im)
-    r_re = jnp.einsum("kn,...nc->...kc", w_re, c_re) - jnp.einsum(
-        "kn,...nc->...kc", w_im, c_im
+    ein = lambda a, b: jnp.einsum(
+        "kn,...nc->...kc", a, b, precision=_PRECISION,
+        preferred_element_type=jnp.float32,
     )
-    r_im = jnp.einsum("kn,...nc->...kc", w_re, c_im) + jnp.einsum(
-        "kn,...nc->...kc", w_im, c_re
-    )
+    r_re = ein(w_re, c_re) - ein(w_im, c_im)
+    r_im = ein(w_re, c_im) + ein(w_im, c_re)
     # Flat index k = k2 + N2·k1 → reshape [k1, k2] directly.
     return r_re.reshape(*batch, n), r_im.reshape(*batch, n)
 

@@ -71,7 +71,11 @@ def _fft_rows_kernel(
 ):
     """One grid cell transforms `rows` rows of length n1·n2."""
 
-    dot = functools.partial(jax.lax.dot_general, preferred_element_type=jnp.float32)
+    dot = functools.partial(
+        jax.lax.dot_general,
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
 
     w1re, w1im = w1re_ref[:], w1im_ref[:]
     w2re, w2im = w2re_ref[:], w2im_ref[:]
