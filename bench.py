@@ -63,14 +63,15 @@ def run_bench(
     import jax.numpy as jnp
 
     pipe = _build(num_channels, num_buoys, block_len, sample_rate_hz, max_lag)
-    iq, anchors = pipe.example_inputs(batch=(num_channels,), seed=0)
+    # Build on host and split BEFORE any device transfer: the target TPU
+    # runtime cannot device_put complex64 at all.
+    re, im, anchors = pipe.example_inputs(batch=(num_channels,), seed=0, split=True)
 
     attempts = []
     if path in ("auto", "split"):
-        re = jnp.real(iq).astype(jnp.float32)
-        im = jnp.imag(iq).astype(jnp.float32)
         attempts.append(("split", pipe.jit_step_split(), (re, im, anchors)))
     if path in ("auto", "complex"):
+        iq = jax.lax.complex(re, im)
         attempts.append(("complex", pipe.jit_step(), (iq, anchors)))
 
     last_err = None

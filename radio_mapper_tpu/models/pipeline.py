@@ -116,7 +116,11 @@ class TDOAPipeline:
         )  # [..., B]
         conf_i = jnp.take(buoy_conf, self.pair_i, axis=-1)
         conf_j = jnp.take(buoy_conf, self.pair_j, axis=-1)
-        psr_q = jnp.clip((corr.psr - c.psr_floor) / c.psr_scale, 0.0, 1.0)
+        # PSR grades correlation quality, but a narrowband signal's wide
+        # correlation envelope keeps PSR near 1 even for a clean peak —
+        # so PSR modulates between 0.1 and 1 instead of hard-zeroing: any
+        # pair whose *detections* fired still contributes.
+        psr_q = 0.1 + 0.9 * jnp.clip((corr.psr - c.psr_floor) / c.psr_scale, 0.0, 1.0)
         return jnp.minimum(conf_i, conf_j) * psr_q
 
     def solve(
@@ -228,20 +232,28 @@ class TDOAPipeline:
 
     # -- example inputs (for AOT compile checks and benches) -------------
 
-    def example_inputs(self, *, batch: tuple = (), seed: int = 0, uint8: bool = False):
+    def example_inputs(
+        self, *, batch: tuple = (), seed: int = 0, uint8: bool = False,
+        split: bool = False,
+    ):
+        """Random inputs. ``split=True`` returns host-built (re, im, anchors)
+        float32 arrays — REQUIRED on runtimes where complex64 cannot even be
+        device_put (splitting a complex device array is already too late).
+        """
         c = self.config
         rng = np.random.default_rng(seed)
-        if uint8:
-            iq = rng.integers(
-                0, 256, size=(*batch, c.num_buoys, 2 * c.block_len), dtype=np.uint8
-            )
-        else:
-            iq = (
-                rng.normal(size=(*batch, c.num_buoys, c.block_len))
-                + 1j * rng.normal(size=(*batch, c.num_buoys, c.block_len))
-            ).astype(np.complex64)
-        # A plausible ~20 km-aperture network.
         anchors = rng.normal(scale=8_000.0, size=(c.num_buoys, 3)).astype(np.float32)
         anchors[:, 2] = 0.0
-        anchors = np.broadcast_to(anchors, (*batch, c.num_buoys, 3))
-        return jnp.asarray(iq), jnp.asarray(anchors)
+        anchors = np.ascontiguousarray(
+            np.broadcast_to(anchors, (*batch, c.num_buoys, 3))
+        )
+        if uint8:
+            raw = rng.integers(
+                0, 256, size=(*batch, c.num_buoys, 2 * c.block_len), dtype=np.uint8
+            )
+            return jnp.asarray(raw), jnp.asarray(anchors)
+        re = rng.normal(size=(*batch, c.num_buoys, c.block_len)).astype(np.float32)
+        im = rng.normal(size=(*batch, c.num_buoys, c.block_len)).astype(np.float32)
+        if split:
+            return jnp.asarray(re), jnp.asarray(im), jnp.asarray(anchors)
+        return jnp.asarray((re + 1j * im).astype(np.complex64)), jnp.asarray(anchors)

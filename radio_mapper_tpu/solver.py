@@ -139,6 +139,11 @@ def solve_tdoa(
         if weights is None
         else jnp.maximum(jnp.asarray(weights, jnp.float32), 0.0)
     )
+    # All-zero weights would freeze the solver at its initial guess with a
+    # zero gradient; degrade to uniform weighting instead (the measurements
+    # still carry geometry even when quality metrics are uninformative).
+    w_total = jnp.sum(w, axis=-1, keepdims=True)
+    w = jnp.where(w_total > 1e-9, w, jnp.ones_like(w))
 
     x0 = jnp.mean(anchors_enu, axis=-2) if init_enu is None else jnp.asarray(init_enu, jnp.float32)
     # Anchors may be shared (unbatched) while measurements are batched —
