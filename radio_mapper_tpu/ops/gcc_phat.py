@@ -214,12 +214,37 @@ def gcc_phat_all_pairs(
     (the reference walks pairs in a Python double loop,
     `tdoa_processor.py:156-193`).
     """
+    n = signals.shape[-1]
+    if max_lag >= n:
+        raise ValueError(f"max_lag {max_lag} must be < block length {n}")
     b = signals.shape[-2]
+    nfft = next_pow2(n + max_lag)
+    # Per-receiver spectra computed once (B FFTs), pairs combine them —
+    # not 2·P redundant forward transforms.
+    spectra = fft_ops.fft(signals, n=nfft, axis=-1)
     i_idx, j_idx = pair_indices(b)
-    x = jnp.take(signals, jnp.asarray(i_idx), axis=-2)
-    y = jnp.take(signals, jnp.asarray(j_idx), axis=-2)
-    return gcc_phat(
-        x, y, sample_rate_hz=sample_rate_hz, max_lag=max_lag, weighting=weighting, eps=eps
+    x_f = jnp.take(spectra, jnp.asarray(i_idx), axis=-2)
+    y_f = jnp.take(spectra, jnp.asarray(j_idx), axis=-2)
+    r = x_f * jnp.conj(y_f)
+    r = _weight_cross_spectrum(r, x_f, y_f, weighting, eps)
+    corr = fft_ops.ifft(r, axis=-1)
+    corr = jnp.concatenate(
+        [corr[..., nfft - max_lag :], corr[..., : max_lag + 1]], axis=-1
+    )
+    m = jnp.abs(corr)
+    k = safe.argmax_last(m) if safe.enabled() else jnp.argmax(m, axis=-1)
+    delta = parabolic_refine(m, k)
+    lag = k.astype(jnp.float32) - jnp.float32(max_lag) + delta
+    peak = (
+        safe.take1_last(m, k)
+        if safe.enabled()
+        else jnp.take_along_axis(m, k[..., None], axis=-1)[..., 0]
+    )
+    return CorrelationPeak(
+        lag_samples=lag,
+        tau_s=lag / jnp.float32(sample_rate_hz),
+        peak_value=peak,
+        psr=peak_to_sidelobe(m, k),
     )
 
 

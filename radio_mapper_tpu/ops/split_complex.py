@@ -129,14 +129,61 @@ def gcc_phat_all_pairs_split(
     max_lag: int,
     weighting: str = "phat",
     eps: float = 0.05,
+    psr_exclude: int = 8,
 ) -> CorrelationPeakSC:
-    """All-pairs over the receiver axis; inputs ``[..., B, N]`` f32 pairs."""
+    """All-pairs over the receiver axis; inputs ``[..., B, N]`` f32 pairs.
+
+    Each receiver's padded spectrum is computed ONCE (B forward FFTs) and
+    pairs combine the cached spectra — vs. 2·P forward FFTs when calling
+    the pairwise API in a loop. For 8 receivers (28 pairs) that removes
+    ~60% of the FFT work in the hot loop.
+    """
+    n = sig_re.shape[-1]
+    if max_lag >= n:
+        raise ValueError(f"max_lag {max_lag} must be < block length {n}")
     b = sig_re.shape[-2]
+    nfft = gcc.next_pow2(n + max_lag)
+    pad = lambda a: jnp.pad(a, [(0, 0)] * (a.ndim - 1) + [(0, nfft - n)])
+    fr, fi = fft_ops.fft_re_im(pad(sig_re), pad(sig_im))  # [..., B, nfft]
+
     i_idx, j_idx = gcc.pair_indices(b)
     gi = lambda a: jnp.take(a, jnp.asarray(i_idx), axis=-2)
     gj = lambda a: jnp.take(a, jnp.asarray(j_idx), axis=-2)
-    return gcc_phat_split(
-        gi(sig_re), gi(sig_im), gj(sig_re), gj(sig_im),
-        sample_rate_hz=sample_rate_hz, max_lag=max_lag,
-        weighting=weighting, eps=eps,
+    xfr, xfi = gi(fr), gi(fi)
+    yfr, yfi = gj(fr), gj(fi)
+    # R = X · conj(Y)
+    rre = xfr * yfr + xfi * yfi
+    rim = xfi * yfr - xfr * yfi
+    if weighting != "cc":
+        if weighting == "phat":
+            denom_base = jnp.sqrt(rre * rre + rim * rim)
+        elif weighting == "scot":
+            denom_base = jnp.sqrt((xfr * xfr + xfi * xfi) * (yfr * yfr + yfi * yfi))
+        elif weighting == "roth":
+            denom_base = xfr * xfr + xfi * xfi
+        else:
+            raise ValueError(f"unknown weighting {weighting!r}")
+        scale = jnp.max(denom_base, axis=-1, keepdims=True)
+        denom = denom_base + eps * scale + 1e-30
+        rre = rre / denom
+        rim = rim / denom
+    cre, cim = _ifft_re_im(rre, rim)
+    take = lambda a: jnp.concatenate(
+        [a[..., nfft - max_lag :], a[..., : max_lag + 1]], axis=-1
+    )
+    cre, cim = take(cre), take(cim)
+    m = jnp.sqrt(cre * cre + cim * cim)
+    k = safe.argmax_last(m) if safe.enabled() else jnp.argmax(m, axis=-1)
+    delta = gcc.parabolic_refine(m, k)
+    lag = k.astype(jnp.float32) - jnp.float32(max_lag) + delta
+    peak = (
+        safe.take1_last(m, k)
+        if safe.enabled()
+        else jnp.take_along_axis(m, k[..., None], axis=-1)[..., 0]
+    )
+    return CorrelationPeakSC(
+        lag_samples=lag,
+        tau_s=lag / jnp.float32(sample_rate_hz),
+        peak_value=peak,
+        psr=gcc.peak_to_sidelobe(m, k, exclude=psr_exclude),
     )
