@@ -47,12 +47,17 @@ def test_decode_matches_python():
 
 
 def test_synthetic_deterministic_and_stats():
-    a = native.NativeIngest.open_synthetic(seed=42)
-    b = native.NativeIngest.open_synthetic(seed=42)
+    a = native.NativeIngest.open_synthetic(seed=42, ring_bytes=1 << 26)
+    b = native.NativeIngest.open_synthetic(seed=42, ring_bytes=1 << 26)
     try:
         # generous timeout: the full suite saturates the CPU
         ra, _ = a.read_bytes(16384, timeout_ms=30_000)
         rb, _ = b.read_bytes(16384, timeout_ms=30_000)
+        # The ring intentionally drops OLDEST on overrun; if scheduling
+        # starved the consumers long enough to wrap a 64 MiB ring, the
+        # prefixes are legitimately different — skip, don't fail.
+        if a.stats()["bytes_dropped"] or b.stats()["bytes_dropped"]:
+            pytest.skip("ring overran under load; determinism check n/a")
         np.testing.assert_array_equal(ra, rb)
     finally:
         a.close()
