@@ -94,8 +94,26 @@ def _split_length(n: int) -> Tuple[int, int]:
 
 # TPU MXUs multiply in bfloat16 by default (~8 mantissa bits — 1e-2 class
 # error on a DFT). HIGHEST requests the multi-pass f32 algorithm, which the
-# 0.1-sample TDOA budget needs; on CPU it is a no-op.
+# 0.1-sample TDOA budget needs; HIGH (3-pass) trades ~2x speed for ~1e-6
+# class error. On CPU both are no-ops.
 _PRECISION = jax.lax.Precision.HIGHEST
+
+
+def set_precision(name: str) -> None:
+    """'highest' (6-pass f32, default), 'high' (3-pass), or 'default' (bf16)."""
+    global _PRECISION
+    table = {
+        "highest": jax.lax.Precision.HIGHEST,
+        "high": jax.lax.Precision.HIGH,
+        "default": jax.lax.Precision.DEFAULT,
+    }
+    if name not in table:
+        raise ValueError(f"unknown precision {name!r}")
+    _PRECISION = table[name]
+
+
+def get_precision():
+    return _PRECISION
 
 
 def _dft_direct(re: jnp.ndarray, im: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:

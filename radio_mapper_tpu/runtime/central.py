@@ -76,6 +76,7 @@ class CentralProcessor:
         cleanup_interval_s: float = 300.0,
         min_nodes: int = 3,
         store=None,
+        stale_after_s: float = 90.0,
     ):
         self.host = host
         self.ws_port = ws_port
@@ -84,6 +85,7 @@ class CentralProcessor:
         self.buffer_max_age_s = buffer_max_age_s
         self.cleanup_interval_s = cleanup_interval_s
         self.min_nodes = min_nodes
+        self.stale_after_s = stale_after_s
 
         self.nodes: Dict[str, NodeConnection] = {}
         self.signal_buffer: List[LiveSignalDetection] = []
@@ -295,8 +297,17 @@ class CentralProcessor:
             content_type="application/json",
         )
 
+    def _refresh_node_status(self):
+        """Heartbeat-based liveness: nodes silent past the threshold are
+        marked stale (the reference only notices hard disconnects)."""
+        now = datetime.now(timezone.utc)
+        for node in self.nodes.values():
+            silent = (now - node.last_seen).total_seconds()
+            node.status = "active" if silent < self.stale_after_s else "stale"
+
     async def api_nodes(self, request) -> web.Response:
         """`/api/nodes` (`central_processor.py:106-130`)."""
+        self._refresh_node_status()
         node_list = []
         for node_id, node in self.nodes.items():
             lat, lng = node.position

@@ -290,3 +290,42 @@ async def _heartbeat_and_malformed_json():
         await ws.close()
     finally:
         await central.stop()
+
+
+def test_stale_node_marking():
+    asyncio.run(_stale_node())
+
+
+async def _stale_node():
+    from datetime import datetime, timedelta, timezone
+
+    import aiohttp
+
+    from radio_mapper_tpu.runtime.central import CentralProcessor
+
+    central = CentralProcessor(
+        host="127.0.0.1", ws_port=18991, http_port=18992, stale_after_s=1.0
+    )
+    await central.start()
+    try:
+        import websockets
+
+        ws = await websockets.connect("ws://127.0.0.1:18991")
+        await ws.send(json.dumps({"type": "node_registration", "node_id": "n1"}))
+        await ws.recv()
+        # Backdate the heartbeat.
+        central.nodes["n1"].last_seen = datetime.now(timezone.utc) - timedelta(seconds=5)
+        async with aiohttp.ClientSession() as http:
+            async with http.get("http://127.0.0.1:18992/api/nodes") as r:
+                nodes = await r.json()
+                assert nodes[0]["status"] == "stale"
+        # A heartbeat revives it.
+        await ws.send(json.dumps({"type": "heartbeat", "node_id": "n1"}))
+        await ws.recv()
+        async with aiohttp.ClientSession() as http:
+            async with http.get("http://127.0.0.1:18992/api/nodes") as r:
+                nodes = await r.json()
+                assert nodes[0]["status"] == "active"
+        await ws.close()
+    finally:
+        await central.stop()
