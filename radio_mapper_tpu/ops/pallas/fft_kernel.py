@@ -69,44 +69,57 @@ def _fft_rows_kernel(
     ore_ref, oim_ref,
     *, n1: int, n2: int, rows: int,
 ):
-    """One grid cell transforms `rows` rows of length n1·n2."""
+    """One grid cell transforms `rows` rows of length n1·n2, loop-free.
+
+    All rows fold into the free dimension of two big MXU matmuls
+    ([n2, n2] × [n2, rows·n1] and [rows·n2, n1] × [n1, n1]) — per-row
+    128³ matmuls would leave the systolic array mostly idle.
+    """
 
     dot = functools.partial(
         jax.lax.dot_general,
         preferred_element_type=jnp.float32,
         precision=jax.lax.Precision.HIGHEST,
     )
+    dn = (((1,), (0,)), ((), ()))
 
     w1re, w1im = w1re_ref[:], w1im_ref[:]
     w2re, w2im = w2re_ref[:], w2im_ref[:]
-    twre, twim = twre_ref[:], twim_ref[:]
+    # Twiddle tiled across rows: [n2, rows*n1] (constant, still small).
+    twre = jnp.concatenate([twre_ref[:]] * rows, axis=1)
+    twim = jnp.concatenate([twim_ref[:]] * rows, axis=1)
 
-    def one_row(r, _):
-        # A[n2, n1] with A[n2, n1] = x[n1 + N1·n2]
-        are = xre_ref[r, :].reshape(n2, n1)
-        aim = xim_ref[r, :].reshape(n2, n1)
+    def load(ref):
+        # [rows, N] → A_all[n2, rows·n1]: A_all[n2, r·n1+j] = x[r, j + n1·n2].
+        a = ref[:].reshape(rows, n2, n1)
+        return jnp.transpose(a, (1, 0, 2)).reshape(n2, rows * n1)
 
-        # Inner DFT over n2 (rows): B[k2, n1] = Σ_n2 W2[k2,n2]·A[n2,n1].
-        dn = (((1,), (0,)), ((), ()))
-        bre = dot(w2re, are, dn) - dot(w2im, aim, dn)
-        bim = dot(w2re, aim, dn) + dot(w2im, are, dn)
+    are, aim = load(xre_ref), load(xim_ref)
 
-        # Twiddle (VPU): C[k2, n1] = B·T.
-        cre = bre * twre - bim * twim
-        cim = bre * twim + bim * twre
+    # Inner DFT over n2 — one wide matmul per real part.
+    bre = dot(w2re, are, dn) - dot(w2im, aim, dn)
+    bim = dot(w2re, aim, dn) + dot(w2im, are, dn)
 
-        # Outer DFT over n1: Rt[k2, k1] = Σ_n1 C[k2,n1]·W1[n1,k1]
-        # (W1 is symmetric so W1 == W1ᵀ).
-        dn2 = (((1,), (0,)), ((), ()))
-        rtre = dot(cre, w1re, dn2) - dot(cim, w1im, dn2)
-        rtim = dot(cre, w1im, dn2) + dot(cim, w1re, dn2)
+    # Twiddle (VPU).
+    cre = bre * twre - bim * twim
+    cim = bre * twim + bim * twre
 
-        # Flat index k = k2 + N2·k1 ⇒ output layout is [k1, k2] = Rtᵀ.
-        ore_ref[r, :] = rtre.T.reshape(n1 * n2)
-        oim_ref[r, :] = rtim.T.reshape(n1 * n2)
-        return 0
+    # Regroup for the outer DFT: [n2, rows, n1] → [rows·n2, n1].
+    regroup = lambda c: jnp.transpose(
+        c.reshape(n2, rows, n1), (1, 0, 2)
+    ).reshape(rows * n2, n1)
+    cre, cim = regroup(cre), regroup(cim)
 
-    jax.lax.fori_loop(0, rows, one_row, 0)
+    # Outer DFT over n1 (W1 symmetric ⇒ right-multiply): D[r·n2+k2, k1].
+    dre = dot(cre, w1re, dn) - dot(cim, w1im, dn)
+    dim = dot(cre, w1im, dn) + dot(cim, w1re, dn)
+
+    # Output flat index k = k2 + n2·k1 ⇒ per row transpose [k2,k1] → [k1,k2].
+    unpack = lambda d: jnp.transpose(
+        d.reshape(rows, n2, n1), (0, 2, 1)
+    ).reshape(rows, n1 * n2)
+    ore_ref[:] = unpack(dre)
+    oim_ref[:] = unpack(dim)
 
 
 def fft_rows(
