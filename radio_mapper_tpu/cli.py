@@ -231,6 +231,98 @@ def cmd_stream(args):
         )
 
 
+def cmd_demod(args):
+    """rtl_fm-style demodulator: source → audio PCM (s16le) to a file."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    from radio_mapper_tpu.ops import demod as demod_ops
+
+    if args.source == "sim":
+        from radio_mapper_tpu import sim
+        from radio_mapper_tpu.ingest import SimulatedSource
+
+        scen = sim.default_scenario(signal="fm", bandwidth_hz=150e3)
+        source = SimulatedSource(scen, 0)
+        source.tune(scen.center_frequency_mhz * 1e6)
+    elif args.source == "rtl_tcp":
+        from radio_mapper_tpu.net.rtl_tcp import RtlTcpSource
+
+        host, _, port = args.rtl_tcp.partition(":")
+        source = RtlTcpSource(
+            host, int(port or 1234), sample_rate_hz=args.sample_rate,
+            center_frequency_hz=args.frequency * 1e6,
+        )
+    else:
+        from radio_mapper_tpu.ingest import RtlSdrProcessSource
+
+        source = RtlSdrProcessSource(
+            sample_rate_hz=args.sample_rate, center_frequency_hz=args.frequency * 1e6
+        )
+    n = int(args.seconds * args.sample_rate)
+    iq = source.read(n)
+    source.close()
+    if args.mode == "wbfm":
+        audio = demod_ops.wbfm_pipeline(
+            jnp.asarray(iq), sample_rate_hz=args.sample_rate,
+            audio_rate_hz=args.audio_rate,
+        )
+    elif args.mode == "am":
+        audio = demod_ops.decimate(
+            demod_ops.am_demod(jnp.asarray(iq)),
+            max(1, int(args.sample_rate / args.audio_rate)),
+        )
+    elif args.mode == "usb":
+        audio = demod_ops.decimate(
+            demod_ops.usb_demod(jnp.asarray(iq), sample_rate_hz=args.sample_rate),
+            max(1, int(args.sample_rate / args.audio_rate)),
+        )
+    else:  # lsb
+        audio = demod_ops.decimate(
+            demod_ops.lsb_demod(jnp.asarray(iq), sample_rate_hz=args.sample_rate),
+            max(1, int(args.sample_rate / args.audio_rate)),
+        )
+    a = np.asarray(audio)
+    peak = np.abs(a).max() + 1e-12
+    pcm = np.clip(a / peak * 32000.0, -32767, 32767).astype(np.int16)
+    pcm.tofile(args.output)
+    print(f"wrote {pcm.size} s16le samples @ {args.audio_rate:.0f} Hz to {args.output}")
+
+
+def cmd_adsb(args):
+    """rtl_adsb-style Mode-S decoder: prints `*<hex>;` frames."""
+    from radio_mapper_tpu.ops import adsb as adsb_ops
+
+    if args.source == "selftest":
+        iq = adsb_ops.encode_frame_iq(
+            adsb_ops.append_crc("8d4840d6202cc371c32ce057"), noise=0.02
+        )
+        for frame in adsb_ops.decode_block(iq, require_crc=not args.no_crc):
+            print(frame)
+        return
+    if args.source == "rtl_tcp":
+        from radio_mapper_tpu.net.rtl_tcp import RtlTcpSource
+
+        host, _, port = args.rtl_tcp.partition(":")
+        source = RtlTcpSource(
+            host, int(port or 1234),
+            sample_rate_hz=adsb_ops.ADSB_RATE_HZ, center_frequency_hz=1090e6,
+        )
+    else:
+        from radio_mapper_tpu.ingest import RtlSdrProcessSource
+
+        source = RtlSdrProcessSource(
+            sample_rate_hz=adsb_ops.ADSB_RATE_HZ, center_frequency_hz=1090e6
+        )
+    try:
+        for _ in range(args.blocks):
+            iq = source.read(1 << 18)
+            for frame in adsb_ops.decode_block(iq, require_crc=not args.no_crc):
+                print(frame, flush=True)
+    finally:
+        source.close()
+
+
 def cmd_bench(args):
     import bench as bench_mod
 
@@ -363,6 +455,24 @@ def build_parser() -> argparse.ArgumentParser:
     s.add_argument("--samples", type=int, default=2_048_000)
     s.add_argument("--output", default="iq_capture.bin")
     s.set_defaults(fn=cmd_capture)
+
+    s = sub.add_parser("demod", help="demodulate to audio PCM (rtl_fm parity)")
+    s.add_argument("--mode", choices=["wbfm", "am", "usb", "lsb"], default="wbfm")
+    s.add_argument("--source", choices=["sim", "rtl_tcp", "rtl_sdr"], default="sim")
+    s.add_argument("--rtl-tcp", default="127.0.0.1:1234")
+    s.add_argument("--frequency", type=float, default=105.7, help="MHz")
+    s.add_argument("--sample-rate", type=float, default=1_024_000.0)
+    s.add_argument("--audio-rate", type=float, default=32_000.0)
+    s.add_argument("--seconds", type=float, default=2.0)
+    s.add_argument("--output", default="audio.s16le")
+    s.set_defaults(fn=cmd_demod)
+
+    s = sub.add_parser("adsb", help="Mode-S/ADS-B decoder (rtl_adsb parity)")
+    s.add_argument("--source", choices=["selftest", "rtl_tcp", "rtl_sdr"], default="selftest")
+    s.add_argument("--rtl-tcp", default="127.0.0.1:1234")
+    s.add_argument("--blocks", type=int, default=8)
+    s.add_argument("--no-crc", action="store_true", help="permissive (reference behavior)")
+    s.set_defaults(fn=cmd_adsb)
 
     s = sub.add_parser("scan", help="wideband power survey (rtl_power CSV)")
     s.add_argument("freq_lo", type=float, help="MHz")
