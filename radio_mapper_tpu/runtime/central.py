@@ -44,6 +44,7 @@ from radio_mapper_tpu.runtime.datamodel import (
     parse_iso,
     utc_now_iso,
 )
+from radio_mapper_tpu.runtime.alerts import EmergencyAlerter
 from radio_mapper_tpu.runtime.tdoa_engine import TDoAEngine
 from radio_mapper_tpu.utils.metrics import MetricsRegistry
 
@@ -77,6 +78,7 @@ class CentralProcessor:
         min_nodes: int = 3,
         store=None,
         stale_after_s: float = 90.0,
+        alerter=None,
     ):
         self.host = host
         self.ws_port = ws_port
@@ -93,6 +95,7 @@ class CentralProcessor:
         self.engine = TDoAEngine(min_buoys=min_nodes)
         self.started_at = time.time()
         self.metrics = MetricsRegistry()
+        self.alerter = alerter if alerter is not None else EmergencyAlerter()
         self.store = store  # optional utils.storage.SignalStore
         if store is not None:
             # Resume from persisted state (the reference loses everything on
@@ -268,6 +271,8 @@ class CentralProcessor:
                 )
                 self.triangulated_signals.append(signal)
                 self.metrics.inc("fixes_computed")
+                if self.alerter.process(signal):
+                    self.metrics.inc("emergency_alerts")
                 if self.store is not None:
                     self.store.append_fix(signal)
                 logger.info(

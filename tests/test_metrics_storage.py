@@ -135,3 +135,38 @@ def test_central_resume_and_metrics_endpoint(tmp_path):
             await central.stop()
 
     asyncio.run(run())
+
+
+def test_emergency_alerter_thresholds_and_repeat():
+    from radio_mapper_tpu.runtime.alerts import EmergencyAlerter
+
+    alerter = EmergencyAlerter(confidence_threshold=0.8, repeat_alert_minutes=5.0,
+                               methods=["log"])
+    sig = _fix()  # emergency, conf 0.9
+    assert alerter.process(sig, now=1000.0)
+    # Repeat within the window is suppressed.
+    assert not alerter.process(sig, now=1100.0)
+    # After the window it fires again.
+    assert alerter.process(sig, now=1000.0 + 301.0)
+    # Below-threshold confidence never alerts.
+    import dataclasses
+
+    weak = dataclasses.replace(sig, confidence=0.5, frequency_mhz=243.0)
+    assert not alerter.process(weak, now=2000.0)
+    # Non-emergency types never alert.
+    fm = dataclasses.replace(sig, signal_type="fm_radio", frequency_mhz=101.9)
+    assert not alerter.process(fm, now=2000.0)
+    assert alerter.alerts_sent == 2
+
+
+def test_alerter_webhook_routing():
+    from radio_mapper_tpu.runtime.alerts import EmergencyAlerter
+
+    calls = []
+    alerter = EmergencyAlerter(
+        methods=["webhook"], webhook_url="http://example/hook",
+        webhook_post=lambda url, payload: calls.append((url, payload)),
+    )
+    assert alerter.process(_fix(), now=1.0)
+    assert calls and calls[0][0] == "http://example/hook"
+    assert calls[0][1]["type"] == "emergency_alert"
