@@ -60,7 +60,6 @@ def run_bench(
     path: str = "auto",  # auto | split | complex
 ):
     import jax
-    import jax.numpy as jnp
 
     pipe = _build(num_channels, num_buoys, block_len, sample_rate_hz, max_lag)
     # Build on host and split BEFORE any device transfer: the target TPU

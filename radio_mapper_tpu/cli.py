@@ -40,8 +40,6 @@ def cmd_server(args):
 
 
 def cmd_buoy(args):
-    import dataclasses
-
     from radio_mapper_tpu import sim
     from radio_mapper_tpu.runtime.buoy import BuoyNode, BuoyNodeConfig, simulated_buoy
 

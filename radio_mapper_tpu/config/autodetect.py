@@ -13,7 +13,7 @@ import glob
 import re
 import socket
 import subprocess
-from typing import Dict, List, Optional
+from typing import Dict, List
 
 
 def detect_local_ip() -> str:

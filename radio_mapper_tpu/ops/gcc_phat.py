@@ -25,7 +25,7 @@ math for the sub-0.1-sample parity tests.
 
 from __future__ import annotations
 
-from typing import NamedTuple, Optional, Tuple
+from typing import NamedTuple, Tuple
 
 import jax
 import jax.numpy as jnp
