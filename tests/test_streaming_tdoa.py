@@ -105,3 +105,22 @@ def test_state_continuity_matters():
     np.testing.assert_allclose(
         np.asarray(state.tail), np.asarray(sb.tail), atol=1e-5
     )
+
+
+def test_many_buoy_wideband_shape():
+    """BASELINE config-4 shape, scaled for CI: 16 buoys, wideband stream,
+    polyphase channelizer + all-pairs GCC (120 pairs) in one jitted step."""
+    from radio_mapper_tpu.ops.gcc_phat import pair_indices
+
+    cfg = StreamingTDOAConfig(
+        num_buoys=16, num_subchannels=8, taps_per_channel=4,
+        sample_rate_hz=10_000_000.0, block_len=8192, max_lag=8,
+        solver_iterations=8,
+    )
+    st = StreamingTDOA(cfg)
+    assert cfg.num_pairs == 120
+    blocks, anchors = st.example_inputs(num_blocks=1, seed=9)
+    state, out = st.jit_step()(st.init_state(), blocks[0], anchors)
+    assert out.lags.shape == (8, 120)
+    assert out.fixes_enu.shape == (8, 3)
+    assert bool(np.isfinite(np.asarray(out.fixes_enu)).all())
