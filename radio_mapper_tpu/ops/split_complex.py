@@ -19,6 +19,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from radio_mapper_tpu.ops import channelizer as pfb
 from radio_mapper_tpu.ops import fft as fft_ops
 from radio_mapper_tpu.ops import gcc_phat as gcc
 from radio_mapper_tpu.ops import safe
@@ -187,3 +188,48 @@ def gcc_phat_all_pairs_split(
         peak_value=peak,
         psr=gcc.peak_to_sidelobe(m, k, exclude=psr_exclude),
     )
+
+
+def channelize_split(
+    re: jnp.ndarray,
+    im: jnp.ndarray,
+    num_channels: int,
+    *,
+    sample_rate_hz: float,
+    taps_per_channel: int = 8,
+    shift: bool = True,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Split-complex polyphase channelizer (mirrors ops.channelizer).
+
+    The prototype filter is real, so filtering applies to each part
+    independently; only the branch FFT mixes them. Returns
+    ``(ch_re, ch_im)`` of shape ``[..., M, F]``.
+    """
+    m, t = num_channels, taps_per_channel
+    n = re.shape[-1]
+    if n % m != 0:
+        raise ValueError(f"block length {n} must be a multiple of num_channels {m}")
+    num_cols = n // m
+    num_frames = num_cols - t + 1
+    if num_frames <= 0:
+        raise ValueError(f"need at least {m * t} samples, got {n}")
+    h = jnp.asarray(pfb.prototype_filter(m, t))
+    idx = np.arange(num_frames)[:, None] + np.arange(t)[None, :]
+
+    def filter_part(x):
+        cols = x.reshape(*x.shape[:-1], num_cols, m)
+        frames = cols[..., idx, :]
+        return jnp.einsum(
+            "...ftm,tm->...fm", frames, h,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+
+    fre, fim = filter_part(re), filter_part(im)
+    cre, cim = fft_ops.fft_re_im(fre, fim)  # branch FFT over M
+    cre = jnp.moveaxis(cre, -1, -2)
+    cim = jnp.moveaxis(cim, -1, -2)
+    if shift:
+        perm = jnp.asarray(np.fft.fftshift(np.arange(m)))
+        cre = jnp.take(cre, perm, axis=-2)
+        cim = jnp.take(cim, perm, axis=-2)
+    return cre, cim

@@ -35,6 +35,8 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from radio_mapper_tpu import solver
 from radio_mapper_tpu.models.streaming import sharded_channelize
 from radio_mapper_tpu.ops import gcc_phat as gcc_ops
+from radio_mapper_tpu.ops import split_complex as sc_ops
+from radio_mapper_tpu.parallel.halo import with_left_halo
 
 
 @dataclasses.dataclass(frozen=True)
@@ -127,6 +129,57 @@ def build_sharded_step(mesh: Mesh, config: ShardedStepConfig):
     return step, in_shardings
 
 
+def build_sharded_step_split(mesh: Mesh, config: ShardedStepConfig):
+    """Split-complex variant of :func:`build_sharded_step` — the program a
+    real multi-chip TPU pod runs (the target runtime cannot execute
+    complex64). Inputs are (re, im) float32 ``[C, B, N]`` pairs sharded
+    identically to the complex path."""
+    cfg = config
+    i_idx, j_idx = gcc_ops.pair_indices(cfg.num_buoys)
+    pair_i = jnp.asarray(i_idx)
+    pair_j = jnp.asarray(j_idx)
+    sub_rate = cfg.sample_rate_hz / cfg.num_subchannels
+    history = (cfg.taps_per_channel - 1) * cfg.num_subchannels
+
+    def local_step(re_l, im_l, anchors):
+        re_ext = with_left_halo(re_l, "blk", history)
+        im_ext = with_left_halo(im_l, "blk", history)
+        ch_re, ch_im = sc_ops.channelize_split(
+            re_ext, im_ext, cfg.num_subchannels,
+            sample_rate_hz=cfg.sample_rate_hz,
+            taps_per_channel=cfg.taps_per_channel,
+        )  # [C_l, B, M, F]
+        sub_re = jnp.moveaxis(ch_re, 1, 2)  # [C_l, M, B, F]
+        sub_im = jnp.moveaxis(ch_im, 1, 2)
+        corr = sc_ops.gcc_phat_all_pairs_split(
+            sub_re, sub_im, sample_rate_hz=sub_rate, max_lag=cfg.max_lag
+        )
+        weights = jnp.clip((corr.psr - cfg.psr_floor) / cfg.psr_scale, 0.0, 1.0) + 1e-3
+        dd = solver.tau_to_distance_difference(corr.tau_s)
+        res = solver.solve_tdoa(
+            anchors, pair_i, pair_j, dd, weights, iterations=cfg.solver_iterations
+        )
+        return ShardedStepOutput(
+            fixes_enu=res.position_enu[None],
+            lags=corr.lag_samples[None],
+            weights=weights[None],
+            cost=res.cost[None],
+        )
+
+    in_specs = (P("ch", None, "blk"), P("ch", None, "blk"), P())
+    out_specs = ShardedStepOutput(
+        fixes_enu=P("blk", "ch"),
+        lags=P("blk", "ch"),
+        weights=P("blk", "ch"),
+        cost=P("blk", "ch"),
+    )
+    step = jax.jit(
+        jax.shard_map(local_step, mesh=mesh, in_specs=in_specs, out_specs=out_specs)
+    )
+    in_shardings = tuple(NamedSharding(mesh, sp) for sp in in_specs)
+    return step, in_shardings
+
+
 def example_inputs(mesh: Mesh, config: ShardedStepConfig, *, samples_per_shard: int = 512, seed: int = 0):
     """Device-placed random inputs sized for the mesh."""
     cfg = config
@@ -143,5 +196,24 @@ def example_inputs(mesh: Mesh, config: ShardedStepConfig, *, samples_per_shard: 
     a_sharding = NamedSharding(mesh, P())
     return (
         jax.device_put(x, x_sharding),
+        jax.device_put(anchors, a_sharding),
+    )
+
+
+def example_inputs_split(mesh: Mesh, config: ShardedStepConfig, *, samples_per_shard: int = 512, seed: int = 0):
+    """(re, im, anchors) float32, device-placed — no complex dtype."""
+    cfg = config
+    s = mesh.shape["blk"]
+    rng = np.random.default_rng(seed)
+    n = s * samples_per_shard
+    re = rng.normal(size=(cfg.num_channels, cfg.num_buoys, n)).astype(np.float32)
+    im = rng.normal(size=(cfg.num_channels, cfg.num_buoys, n)).astype(np.float32)
+    anchors = rng.normal(scale=5_000.0, size=(cfg.num_buoys, 3)).astype(np.float32)
+    anchors[:, 2] = 0.0
+    x_sharding = NamedSharding(mesh, P("ch", None, "blk"))
+    a_sharding = NamedSharding(mesh, P())
+    return (
+        jax.device_put(re, x_sharding),
+        jax.device_put(im, x_sharding),
         jax.device_put(anchors, a_sharding),
     )

@@ -33,6 +33,7 @@ import numpy as np
 from radio_mapper_tpu import constants
 from radio_mapper_tpu.ingest import IQSource, SimulatedSource
 from radio_mapper_tpu.ops import detect as detect_ops
+from radio_mapper_tpu.ops import spectral as spectral_ops
 from radio_mapper_tpu.runtime.datamodel import (
     BuoyStatus,
     NumpyJSONEncoder,
@@ -97,13 +98,24 @@ class BuoyNode:
             cfg = self.config
 
             def fn(iq):
-                return detect_ops.detect_signals(
-                    iq,
+                power_db = (
+                    spectral_ops.power_spectrum_db(iq) + cfg.power_offset_db
+                )
+                peaks = detect_ops.detect_peaks(
+                    power_db,
                     sample_rate_hz=cfg.sample_rate_hz,
                     max_peaks=cfg.max_peaks,
-                    power_offset_db=cfg.power_offset_db,
                     threshold_db=cfg.detection_threshold_db,
                 )
+                # −3 dB occupied-bandwidth estimate per peak
+                # (`iq_stream_client.py:254-278` capability).
+                bw = spectral_ops.estimate_bandwidth_hz(
+                    power_db[..., None, :],  # broadcasts against the K peaks
+                    peaks.bin_index,
+                    cfg.sample_rate_hz,
+                    smooth_bins=9,
+                )
+                return peaks, bw
 
             self._detect_jit = jax.jit(fn)
         return self._detect_jit
@@ -122,7 +134,8 @@ class BuoyNode:
 
     def detect_block(self, iq: np.ndarray, center_frequency_hz: float) -> List[SignalDetection]:
         """Run the jitted detector on one block and materialize detections."""
-        peaks = self._detector()(iq.astype(np.complex64))
+        peaks, bw = self._detector()(iq.astype(np.complex64))
+        self.last_bandwidths_hz = np.asarray(bw)
         valid = np.asarray(peaks.valid)
         freqs = np.asarray(peaks.freq_offset_hz) + center_frequency_hz
         powers = np.asarray(peaks.power_db)

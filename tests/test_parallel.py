@@ -133,3 +133,28 @@ def test_sharded_step_equals_single_device():
     np.testing.assert_allclose(
         np.asarray(out8.lags)[0], np.asarray(out1.lags)[0], atol=1e-3
     )
+
+
+def test_split_sharded_step_matches_complex():
+    """The complex-free pod program equals the complex mesh program."""
+    from radio_mapper_tpu.parallel.sharded import (
+        build_sharded_step_split,
+        example_inputs_split,
+    )
+
+    msh = mesh_lib.make_mesh((2, 4), ("ch", "blk"))
+    cfg = ShardedStepConfig(num_channels=2, num_buoys=3, num_subchannels=4, max_lag=8)
+
+    step_c, _ = build_sharded_step(msh, cfg)
+    step_s, _ = build_sharded_step_split(msh, cfg)
+
+    re, im, anchors = example_inputs_split(msh, cfg, samples_per_shard=256, seed=5)
+    x = jnp.asarray(np.asarray(re) + 1j * np.asarray(im), jnp.complex64)
+    out_c = step_c(jax.device_put(x, re.sharding), anchors)
+    out_s = step_s(re, im, anchors)
+    np.testing.assert_allclose(
+        np.asarray(out_s.lags), np.asarray(out_c.lags), atol=5e-3
+    )
+    np.testing.assert_allclose(
+        np.asarray(out_s.weights), np.asarray(out_c.weights), atol=1e-2
+    )
