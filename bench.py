@@ -50,7 +50,7 @@ def _build(num_channels, num_buoys, block_len, sample_rate_hz, max_lag):
 
 def run_bench(
     *,
-    num_channels: int = 16,
+    num_channels: int = 32,
     num_buoys: int = 8,
     block_len: int = 16_384,
     sample_rate_hz: float = 2_400_000.0,
