@@ -179,9 +179,19 @@ class TDOAPipeline:
         :mod:`radio_mapper_tpu.ops.split_complex`).
         """
         c = self.config
-        power_db = (
-            sc_ops.power_spectrum_db_split(re, im) + c.power_offset_db
-        )
+        n = re.shape[-1]
+        spectra = sc_ops.receiver_spectra_split(re, im, max_lag=c.max_lag)
+        fr, fi, nfft = spectra
+        if nfft == 2 * n:
+            # Zero-padding to exactly 2N makes the padded transform's even
+            # bins equal the plain N-point FFT bit-for-bit — the detector's
+            # spectrum is a strided view of the correlation FFTs, free.
+            power_db = (
+                10.0 * jnp.log10(fr[..., ::2] ** 2 + fi[..., ::2] ** 2 + 1e-24)
+                + c.power_offset_db
+            )
+        else:
+            power_db = sc_ops.power_spectrum_db_split(re, im) + c.power_offset_db
         peaks = detect_ops.detect_peaks(
             power_db,
             sample_rate_hz=c.sample_rate_hz,
@@ -194,6 +204,7 @@ class TDOAPipeline:
             max_lag=c.max_lag,
             weighting=c.weighting,
             eps=c.gcc_eps,
+            spectra=spectra,
         )
         corr = gcc_ops.CorrelationPeak(
             lag_samples=corr_sc.lag_samples,

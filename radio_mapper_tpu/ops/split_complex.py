@@ -13,7 +13,7 @@ order); tested against it bit-for-bit-ish (≤1e-5) on CPU.
 
 from __future__ import annotations
 
-from typing import NamedTuple, Tuple
+from typing import NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -122,6 +122,26 @@ def gcc_phat_split(
     )
 
 
+def receiver_spectra_split(
+    sig_re: jnp.ndarray, sig_im: jnp.ndarray, *, max_lag: int
+) -> Tuple[jnp.ndarray, jnp.ndarray, int]:
+    """Padded per-receiver spectra for GCC: ``(fr, fi, nfft)``.
+
+    Exposed separately so callers can REUSE the spectra: when the block
+    length is a power of two the pad goes to exactly 2N, and the even bins
+    of the padded transform equal the plain N-point FFT bit-for-bit —
+    i.e. the detector's power spectrum falls out of the correlation FFTs
+    for free (see TDOAPipeline.step_split).
+    """
+    n = sig_re.shape[-1]
+    if max_lag >= n:
+        raise ValueError(f"max_lag {max_lag} must be < block length {n}")
+    nfft = gcc.next_pow2(n + max_lag)
+    pad = lambda a: jnp.pad(a, [(0, 0)] * (a.ndim - 1) + [(0, nfft - n)])
+    fr, fi = fft_ops.fft_re_im(pad(sig_re), pad(sig_im))
+    return fr, fi, nfft
+
+
 def gcc_phat_all_pairs_split(
     sig_re: jnp.ndarray,
     sig_im: jnp.ndarray,
@@ -131,21 +151,22 @@ def gcc_phat_all_pairs_split(
     weighting: str = "phat",
     eps: float = 0.05,
     psr_exclude: int = 8,
+    spectra: "Optional[Tuple[jnp.ndarray, jnp.ndarray, int]]" = None,
 ) -> CorrelationPeakSC:
     """All-pairs over the receiver axis; inputs ``[..., B, N]`` f32 pairs.
 
     Each receiver's padded spectrum is computed ONCE (B forward FFTs) and
     pairs combine the cached spectra — vs. 2·P forward FFTs when calling
     the pairwise API in a loop. For 8 receivers (28 pairs) that removes
-    ~60% of the FFT work in the hot loop.
+    ~60% of the FFT work in the hot loop. Pass ``spectra`` (from
+    :func:`receiver_spectra_split`) to skip even those B transforms.
     """
-    n = sig_re.shape[-1]
-    if max_lag >= n:
-        raise ValueError(f"max_lag {max_lag} must be < block length {n}")
     b = sig_re.shape[-2]
-    nfft = gcc.next_pow2(n + max_lag)
-    pad = lambda a: jnp.pad(a, [(0, 0)] * (a.ndim - 1) + [(0, nfft - n)])
-    fr, fi = fft_ops.fft_re_im(pad(sig_re), pad(sig_im))  # [..., B, nfft]
+    fr, fi, nfft = (
+        spectra
+        if spectra is not None
+        else receiver_spectra_split(sig_re, sig_im, max_lag=max_lag)
+    )
 
     i_idx, j_idx = gcc.pair_indices(b)
     gi = lambda a: jnp.take(a, jnp.asarray(i_idx), axis=-2)
