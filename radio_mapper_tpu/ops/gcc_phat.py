@@ -102,7 +102,7 @@ def cross_correlate(
     n = x.shape[-1]
     if max_lag >= n:
         raise ValueError(f"max_lag {max_lag} must be < block length {n}")
-    nfft = next_pow2(n + max_lag)
+    nfft = fft_ops.friendly_fft_len(n + max_lag)
     x_f = fft_ops.fft(x, n=nfft, axis=-1)
     y_f = fft_ops.fft(y, n=nfft, axis=-1)
     r = x_f * jnp.conj(y_f)
@@ -218,7 +218,7 @@ def gcc_phat_all_pairs(
     if max_lag >= n:
         raise ValueError(f"max_lag {max_lag} must be < block length {n}")
     b = signals.shape[-2]
-    nfft = next_pow2(n + max_lag)
+    nfft = fft_ops.friendly_fft_len(n + max_lag)
     # Per-receiver spectra computed once (B FFTs), pairs combine them —
     # not 2·P redundant forward transforms.
     spectra = fft_ops.fft(signals, n=nfft, axis=-1)
@@ -265,7 +265,7 @@ def gcc_phat_numpy(
     Returns ``(lag_samples, tau_s, peak_value)``.
     """
     n = x.shape[-1]
-    nfft = next_pow2(n + max_lag)
+    nfft = fft_ops.friendly_fft_len(n + max_lag)
     x_f = np.fft.fft(x, n=nfft)
     y_f = np.fft.fft(y, n=nfft)
     r = x_f * np.conj(y_f)

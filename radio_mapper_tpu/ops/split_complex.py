@@ -65,7 +65,7 @@ def cross_correlate_split(
     n = xre.shape[-1]
     if max_lag >= n:
         raise ValueError(f"max_lag {max_lag} must be < block length {n}")
-    nfft = gcc.next_pow2(n + max_lag)
+    nfft = fft_ops.friendly_fft_len(n + max_lag)
     pad = lambda a: jnp.pad(a, [(0, 0)] * (a.ndim - 1) + [(0, nfft - n)])
     xfr, xfi = fft_ops.fft_re_im(pad(xre), pad(xim))
     yfr, yfi = fft_ops.fft_re_im(pad(yre), pad(yim))
@@ -136,7 +136,7 @@ def receiver_spectra_split(
     n = sig_re.shape[-1]
     if max_lag >= n:
         raise ValueError(f"max_lag {max_lag} must be < block length {n}")
-    nfft = gcc.next_pow2(n + max_lag)
+    nfft = fft_ops.friendly_fft_len(n + max_lag)
     pad = lambda a: jnp.pad(a, [(0, 0)] * (a.ndim - 1) + [(0, nfft - n)])
     fr, fi = fft_ops.fft_re_im(pad(sig_re), pad(sig_im))
     return fr, fi, nfft
