@@ -183,7 +183,13 @@ def solve_tdoa(
         return (x, lam, cost), None
 
     lam0 = jnp.full(dd_m.shape[:-1], 1e-3, jnp.float32) + 0.0 * dd_m[..., 0]
-    (x, _, cost), _ = jax.lax.scan(step, (x0, lam0, cost_fn(x0)), None, length=iterations)
+    # unroll: each LM iteration is tiny (3×3 algebra over the batch), so on
+    # TPU the scan is dispatch-latency-bound; unrolling packs 5 iterations
+    # per XLA while-step.
+    (x, _, cost), _ = jax.lax.scan(
+        step, (x0, lam0, cost_fn(x0)), None, length=iterations,
+        unroll=min(5, iterations),
+    )
 
     r, jac = _residuals_and_jac(x, anchors_enu, pair_i, pair_j, dd_m)
     g = jnp.einsum("...pk,...p->...k", jac * dim_mask, w * r) / wsum[..., None]
