@@ -74,7 +74,10 @@ def cmd_buoy(args):
 def cmd_web(args):
     from radio_mapper_tpu.webapp.app import WebApp
 
-    app = WebApp(central_http_url=args.central, host=args.host, port=args.port)
+    app = WebApp(
+        central_http_url=args.central, host=args.host, port=args.port,
+        dev_mock=args.mock,
+    )
     asyncio.run(app.run_forever())
 
 
@@ -427,6 +430,8 @@ def build_parser() -> argparse.ArgumentParser:
     s.add_argument("--central", default="http://localhost:4000")
     s.add_argument("--host", default="0.0.0.0")
     s.add_argument("--port", type=int, default=7000)
+    s.add_argument("--mock", action="store_true",
+                   help="serve canned data when central is unreachable (dev)")
     s.set_defaults(fn=cmd_web)
 
     s = sub.add_parser("simulate", help="synthetic scenario through the TPU pipeline")

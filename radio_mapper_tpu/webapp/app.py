@@ -38,11 +38,13 @@ class WebApp:
         host: str = "0.0.0.0",
         port: int = 7000,
         hardware_cache_s: float = 10.0,
+        dev_mock: bool = False,
     ):
         self.central_http_url = central_http_url.rstrip("/")
         self.host = host
         self.port = port
         self.hardware_cache_s = hardware_cache_s
+        self.dev_mock = dev_mock
         self._hw_cache = (0.0, None)
         self.started_at = time.time()
         self._runner: Optional[web.AppRunner] = None
@@ -70,11 +72,56 @@ class WebApp:
                     )
         except (aiohttp.ClientError, TimeoutError, OSError) as e:
             logger.warning("central proxy failed for %s: %s", path, e)
+            if self.dev_mock:
+                # Dev-mode canned data so the UI stays demo-able without a
+                # central server (`webapp/app.py:224-230, 294-317` parity).
+                return web.Response(
+                    text=json.dumps(self._mock_payload(path)),
+                    content_type="application/json",
+                )
             return web.Response(
                 text=json.dumps({"error": f"central unavailable: {e}"}),
                 status=502,
                 content_type="application/json",
             )
+
+    @staticmethod
+    def _mock_payload(path: str):
+        import time as _time
+        from datetime import datetime, timezone
+
+        now = datetime.now(timezone.utc).isoformat()
+        if path == "/api/nodes":
+            return [
+                {"id": f"mock-buoy-{k}", "name": f"mock-buoy-{k}",
+                 "lat": 35.47 + 0.05 * k, "lng": -97.55 + 0.04 * k,
+                 "status": "active", "lastSeen": now,
+                 "latest_signal_timestamp": now}
+                for k in range(3)
+            ]
+        if path == "/api/detections":
+            return [
+                {"id": f"DET_{k}", "frequency_mhz": [105.7, 121.5, 156.8][k % 3],
+                 "signal_strength_dbm": -55.0 - k, "lat": 35.46 + 0.02 * k,
+                 "lng": -97.52 + 0.02 * k, "node_id": f"mock-buoy-{k % 3}",
+                 "timestamp": now, "signal_type": ["testing", "emergency", "marine"][k % 3],
+                 "confidence": 0.8, "triangulated": False}
+                for k in range(6)
+            ]
+        if path == "/api/signals":
+            return [{
+                "id": "SIG_mock", "frequency": 121.5, "signal_strength": -50,
+                "lat": 35.47, "lng": -97.51, "detected_by": ["mock-buoy-0", "mock-buoy-1", "mock-buoy-2"],
+                "timestamp": now, "signal_type": "emergency",
+                "classification": "Aviation Emergency - 121.5 MHz",
+                "confidence": 0.9, "triangulated": True, "accuracy_meters": 45.0,
+            }]
+        if path == "/api/system-status":
+            return {"uptime_seconds": _time.time() % 10_000, "connected_nodes": 3,
+                    "buffered_detections": 6, "triangulated_signals": 1,
+                    "network": {"triangulation_ready": True}, "server_time": now,
+                    "mock": True}
+        return {"matches": [], "count": 0, "mock": True}
 
     async def index(self, request) -> web.Response:
         with open(os.path.join(STATIC_DIR, "index.html")) as f:

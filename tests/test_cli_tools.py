@@ -138,3 +138,28 @@ def test_webapp_proxy_unreachable_central():
             await app.stop()
 
     asyncio.run(run())
+
+
+def test_webapp_dev_mock_fallback():
+    import asyncio
+
+    async def run():
+        import aiohttp
+
+        from radio_mapper_tpu.webapp.app import WebApp
+
+        app = WebApp("http://127.0.0.1:1", host="127.0.0.1", port=18955, dev_mock=True)
+        await app.start()
+        try:
+            async with aiohttp.ClientSession() as http:
+                async with http.get("http://127.0.0.1:18955/api/nodes") as r:
+                    assert r.status == 200
+                    nodes = await r.json()
+                    assert len(nodes) == 3 and nodes[0]["id"].startswith("mock-")
+                async with http.get("http://127.0.0.1:18955/api/system-status") as r:
+                    st = await r.json()
+                    assert st["mock"] is True
+        finally:
+            await app.stop()
+
+    asyncio.run(run())
