@@ -401,6 +401,13 @@ def cmd_setup(args):
     print(f"example config written to {args.output}")
 
 
+def cmd_eeprom(args):
+    """rtl_eeprom-parity image tool (`Code/src/rtl_eeprom.c`)."""
+    from radio_mapper_tpu.tools import eeprom
+
+    sys.exit(eeprom.run(args))
+
+
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(
         prog="radio_mapper_tpu", description="TPU-native TDOA geolocation framework"
@@ -507,6 +514,12 @@ def build_parser() -> argparse.ArgumentParser:
     s = sub.add_parser("setup", help="autodetect hardware, write example config")
     s.add_argument("--output", default="config.example.yaml")
     s.set_defaults(fn=cmd_setup)
+
+    s = sub.add_parser("eeprom", help="RTL2832 EEPROM image tool (rtl_eeprom parity)")
+    from radio_mapper_tpu.tools import eeprom as _eeprom
+
+    _eeprom.add_args(s)
+    s.set_defaults(fn=cmd_eeprom)
 
     return p
 
