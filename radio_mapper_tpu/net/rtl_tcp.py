@@ -117,6 +117,32 @@ class RtlTcpClient:
     def set_gain_by_index(self, index: int):
         self._send(CMD_SET_GAIN_BY_INDEX, int(index))
 
+    def tune(self, freq_hz: int, samp_rate_hz: int, *,
+             gain_tenth_db: int = 280, ppm: int = 0):
+        """Configure the dongle and return the *achieved* parameters.
+
+        Sends the rtl_tcp commands and mirrors librtlsdr's host-side
+        register math (`net/tuner_plan.py`) so callers know the real
+        sample rate and LO the hardware settles on — the real rate is
+        what converts correlation lags to meters.
+        """
+        from radio_mapper_tpu.net import tuner_plan
+
+        tuner_names = {TUNER_E4000: "e4000", TUNER_FC0012: "fc0012",
+                       TUNER_FC0013: "fc0013", TUNER_FC2580: "fc2580",
+                       TUNER_R820T: "r820t", TUNER_R828D: "r828d"}
+        tuner = tuner_names.get(self.tuner_type, "r820t")
+        plan = tuner_plan.plan_capture(
+            freq_hz, samp_rate_hz, gain_tenth_db=gain_tenth_db,
+            tuner=tuner, ppm=ppm)
+        if ppm:
+            self.set_freq_correction(ppm)
+        self.set_sample_rate(samp_rate_hz)
+        self.set_frequency(freq_hz)
+        self.set_gain_mode(True)
+        self.set_gain(plan.gain_tenth_db)
+        return plan
+
     def read_iq(self, num_samples: int) -> np.ndarray:
         raw = np.frombuffer(self._read_exact(num_samples * 2), dtype=np.uint8)
         return iq_ops.decode_uint8_iq_numpy(raw).astype(np.complex64)

@@ -246,12 +246,14 @@ _PALLAS_MIN_N = 4096
 
 
 def _pallas_supported(n: int) -> bool:
+    """Routable to the fused kernel on real TPU: factorization must be
+    Mosaic lane-aligned (see `fft_kernel.mosaic_compatible`) — other
+    lengths compile only in interpret mode and must take the matmul path."""
     try:
         from radio_mapper_tpu.ops.pallas import fft_kernel
 
-        fft_kernel._split(n)
-        return True
-    except (ValueError, ImportError):
+        return fft_kernel.mosaic_compatible(n)
+    except ImportError:
         return False
 
 

@@ -47,6 +47,23 @@ def _split(n: int) -> Tuple[int, int]:
     return n1, n2
 
 
+def mosaic_compatible(n: int) -> bool:
+    """Whether the kernel's in-kernel reshapes compile on real TPU.
+
+    Mosaic only supports shape casts whose minor (lane) dimension stays a
+    multiple of 128; the kernel's load splits N → (n2, n1) with n1 minor
+    and its output merge has n2 minor, so BOTH factors must be
+    lane-aligned. Empirically on v5e: N=17280 → 128×135 fails with
+    `infer-vector-layout: unsupported shape cast`; 16384 → 128×128
+    compiles and runs. Interpret mode (CPU tests) has no such limit.
+    """
+    try:
+        n1, n2 = _split(n)
+    except ValueError:
+        return False
+    return n1 % 128 == 0 and n2 % 128 == 0
+
+
 @functools.lru_cache(maxsize=None)
 def _constants(n: int):
     n1, n2 = _split(n)

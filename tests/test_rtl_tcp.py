@@ -53,3 +53,24 @@ def test_client_server_loopback():
         assert src.client.tuner_type == rtl_tcp.TUNER_R820T
     finally:
         src.close()
+
+def test_client_tune_returns_capture_plan():
+    # RtlTcpClient.tune() sends the command set AND reports the achieved
+    # hardware parameters via the librtlsdr register math (tuner_plan).
+    scen = sim.default_scenario(signal="tone", seed=4)
+    source = SimulatedSource(scen, 0)
+    server = rtl_tcp.RtlTcpServer(source, host="127.0.0.1", port=18842, throttle=False)
+    rtl_tcp.serve_in_thread(server)
+
+    client = rtl_tcp.RtlTcpClient("127.0.0.1", 18842)
+    try:
+        plan = client.tune(121_500_000, 2_400_000, gain_tenth_db=300)
+        assert plan.tuner == "r820t"
+        assert plan.gain_tenth_db == 297  # snapped to the R82xx table
+        assert plan.sample_rate.real_rate_hz == pytest.approx(2_400_000.0)
+        assert abs(plan.lo_error_hz) < 200.0
+        # The stream still flows after the command burst.
+        iq = client.read_iq(2048)
+        assert iq.shape == (2048,)
+    finally:
+        client.close()
