@@ -127,6 +127,43 @@ class WebApp:
         with open(os.path.join(STATIC_DIR, "index.html")) as f:
             return web.Response(text=f.read(), content_type="text/html")
 
+    async def devices(self, request) -> web.Response:
+        """`/api/devices` (`webapp/app.py:186-222` parity): buoy nodes from
+        central reshaped as device records, with a human-readable last-seen
+        and local hardware detection appended."""
+        from datetime import datetime
+
+        nodes = []
+        try:
+            async with aiohttp.ClientSession() as session:
+                async with session.get(
+                    f"{self.central_http_url}/api/nodes",
+                    timeout=aiohttp.ClientTimeout(total=10),
+                ) as resp:
+                    nodes = await resp.json()
+        except (aiohttp.ClientError, TimeoutError, OSError, ValueError):
+            if self.dev_mock:
+                nodes = self._mock_payload("/api/nodes")
+        devices = []
+        for n in nodes if isinstance(nodes, list) else []:
+            last_seen = n.get("lastSeen", "")
+            try:
+                formatted = datetime.fromisoformat(
+                    last_seen.replace("Z", "+00:00")
+                ).strftime("%Y-%m-%d %H:%M:%S UTC")
+            except (ValueError, AttributeError):
+                formatted = last_seen
+            devices.append({
+                "id": n.get("id"), "name": n.get("name", n.get("id")),
+                "lat": n.get("lat"), "lng": n.get("lng"),
+                "status": n.get("status", "active"),
+                "lastSeen": last_seen, "lastSeenFormatted": formatted,
+                "type": "buoy",
+            })
+        return web.Response(
+            text=json.dumps(devices), content_type="application/json"
+        )
+
     async def local_status(self, request) -> web.Response:
         """Webapp-host hardware status with a 10 s cache
         (`webapp/app.py:40-57` pattern)."""
@@ -153,6 +190,7 @@ class WebApp:
         app = web.Application()
         app.router.add_get("/", self.index)
         app.router.add_get("/api/local-status", self.local_status)
+        app.router.add_get("/api/devices", self.devices)
         def proxy_route(path):
             async def handler(request):
                 return await self._proxy(request, path)

@@ -329,3 +329,33 @@ async def _stale_node():
         await ws.close()
     finally:
         await central.stop()
+
+
+def test_webapp_devices_endpoint():
+    asyncio.run(_webapp_devices())
+
+
+async def _webapp_devices():
+    import aiohttp
+
+    from radio_mapper_tpu.webapp.app import WebApp
+
+    # No central running on that port: dev_mock supplies canned nodes,
+    # which /api/devices reshapes into device records
+    # (reference webapp/app.py:186-222 format).
+    app = WebApp("http://127.0.0.1:19986", host="127.0.0.1", port=19987,
+                 dev_mock=True)
+    await app.start()
+    try:
+        async with aiohttp.ClientSession() as session:
+            async with session.get("http://127.0.0.1:19987/api/devices") as r:
+                assert r.status == 200
+                devices = await r.json()
+        assert len(devices) == 3
+        for d in devices:
+            assert d["type"] == "buoy"
+            assert d["status"] == "active"
+            assert "lastSeenFormatted" in d and "UTC" in d["lastSeenFormatted"]
+            assert isinstance(d["lat"], float) and isinstance(d["lng"], float)
+    finally:
+        await app.stop()
