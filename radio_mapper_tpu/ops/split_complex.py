@@ -250,7 +250,8 @@ def channelize_split(
     cre = jnp.moveaxis(cre, -1, -2)
     cim = jnp.moveaxis(cim, -1, -2)
     if shift:
-        perm = jnp.asarray(np.fft.fftshift(np.arange(m)))
-        cre = jnp.take(cre, perm, axis=-2)
-        cim = jnp.take(cim, perm, axis=-2)
+        # fftshift is a pure rotation — roll instead of a permutation
+        # gather (rolls are proven fast on the target runtime).
+        cre = jnp.roll(cre, m // 2, axis=-2)
+        cim = jnp.roll(cim, m // 2, axis=-2)
     return cre, cim

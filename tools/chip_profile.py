@@ -31,10 +31,14 @@ def main(num_channels=32, num_buoys=8, block_len=16_384, max_lag=512, iters=8):
         )
     )
     re, im, anchors = pipe.example_inputs(batch=(num_channels,), seed=0, split=True)
+    # Pre-stage on device: otherwise every timed call pays the host→HBM
+    # transfer (~3 ms for 33 MB over the tunnel), swamping the stage costs.
+    re, im, anchors = jax.device_put((re, im, anchors))
     samples = num_channels * num_buoys * block_len
 
     def timeit(name, fn, *args):
         f = jax.jit(fn)
+        args = jax.device_put(args)
         out = f(*args)
         jax.block_until_ready(out)
         t0 = time.perf_counter()
