@@ -64,6 +64,18 @@ def cmd_buoy(args):
             cfg,
             source=RtlTcpSource(host, int(port or 1234), sample_rate_hz=args.sample_rate),
         )
+    elif args.source == "native-file":
+        from radio_mapper_tpu.ingest.native import NativeIngest, NativeRingSource
+
+        node = BuoyNode(cfg, source=NativeRingSource(
+            NativeIngest.open_file(args.file), sample_rate_hz=args.sample_rate))
+    elif args.source == "native-tcp":
+        from radio_mapper_tpu.ingest.native import NativeIngest, NativeRingSource
+
+        host, _, port = args.rtl_tcp.partition(":")
+        node = BuoyNode(cfg, source=NativeRingSource(
+            NativeIngest.open_tcp(host, int(port or 1234)),
+            sample_rate_hz=args.sample_rate))
     else:  # rtl_sdr subprocess
         from radio_mapper_tpu.ingest import RtlSdrProcessSource
 
@@ -425,7 +437,12 @@ def build_parser() -> argparse.ArgumentParser:
     s = sub.add_parser("buoy", help="run a buoy node")
     s.add_argument("--id", default="buoy-001")
     s.add_argument("--central", default="ws://localhost:8081")
-    s.add_argument("--source", choices=["sim", "file", "rtl_sdr", "rtl_tcp"], default="sim")
+    s.add_argument(
+        "--source",
+        choices=["sim", "file", "rtl_sdr", "rtl_tcp", "native-file", "native-tcp"],
+        default="sim",
+        help="native-* variants ingest through the C++ ring (native/)",
+    )
     s.add_argument("--sim-index", type=int, default=0)
     s.add_argument("--file", help="raw uint8 I/Q .bin for --source file")
     s.add_argument("--rtl-tcp", default="127.0.0.1:1234")

@@ -105,3 +105,45 @@ def test_tcp_ingest_from_rtl_tcp_server():
         assert np.std(iq) > 0.01
     finally:
         ing.close()
+
+
+def test_buoy_detects_through_native_ring(tmp_path):
+    # End-to-end: synthetic tone written as uint8 I/Q .bin → native C++
+    # ring (file source) → BuoyNode detection. Exercises the product path
+    # behind `buoy --source native-file`.
+    pytest.importorskip("ctypes")
+    import numpy as np
+
+    from radio_mapper_tpu import sim
+    from radio_mapper_tpu.ingest import native as native_mod
+    from radio_mapper_tpu.ops import iq as iq_ops
+    from radio_mapper_tpu.runtime.buoy import BuoyNode, BuoyNodeConfig
+
+    try:
+        native_mod.load_library()
+    except native_mod.NativeUnavailable:
+        pytest.skip("no native toolchain")
+
+    scen = sim.default_scenario(signal="tone", snr_db=30.0)
+    cap = sim.synthesize(scen)
+    raw = np.asarray(iq_ops.encode_uint8_iq(np.asarray(cap.iq[0])), np.uint8)
+    path = tmp_path / "tone.bin"
+    path.write_bytes(raw.tobytes())
+
+    src = native_mod.NativeRingSource(
+        native_mod.NativeIngest.open_file(str(path)),
+        sample_rate_hz=scen.sample_rate_hz,
+        center_frequency_hz=scen.center_frequency_mhz * 1e6,
+    )
+    node = BuoyNode(BuoyNodeConfig(buoy_id="native-b0"), source=src)
+    try:
+        iq = src.read(node.config.block_len)
+        assert iq.shape == (node.config.block_len,)
+        assert src.last_block_ts_ns > 0  # native ns timestamps flow through
+        dets = node.detect_block(iq, scen.center_frequency_mhz * 1e6)
+        assert len(dets) >= 1
+        assert abs(dets[0].frequency_mhz - scen.center_frequency_mhz) < 0.5
+        stats = src.ingest.stats()
+        assert stats["bytes_consumed"] >= node.config.block_len * 2
+    finally:
+        src.close()
