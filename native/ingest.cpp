@@ -143,8 +143,11 @@ struct Ingest {
           std::this_thread::sleep_for(std::chrono::milliseconds(1));
           continue;
         }
+        // Stamp BEFORE publishing the bytes: a consumer that sees data in
+        // the ring must also see a nonzero timestamp (release pairs with
+        // the reader's acquire load in rmt_ingest_read).
+        last_ts_ns.store(now_ns(), std::memory_order_release);
         ring.write_overwrite(buf.data(), static_cast<size_t>(got));
-        last_ts_ns.store(now_ns(), std::memory_order_relaxed);
         cv.notify_one();
       }
       cv.notify_all();
@@ -219,7 +222,7 @@ long rmt_ingest_read(int handle, uint8_t* out, size_t nbytes, int timeout_ms,
     if (ing->cv.wait_until(lk, deadline) == std::cv_status::timeout) break;
   }
   ing->read_bytes.fetch_add(got, std::memory_order_relaxed);
-  if (ts_ns) *ts_ns = ing->last_ts_ns.load(std::memory_order_relaxed);
+  if (ts_ns) *ts_ns = ing->last_ts_ns.load(std::memory_order_acquire);
   return static_cast<long>(got);
 }
 

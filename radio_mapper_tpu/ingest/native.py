@@ -33,6 +33,18 @@ class NativeUnavailable(RuntimeError):
     pass
 
 
+def _stale() -> bool:
+    """True when the .so is missing or older than any native source file."""
+    if not os.path.exists(_LIB_PATH):
+        return True
+    lib_mtime = os.path.getmtime(_LIB_PATH)
+    for name in os.listdir(_NATIVE_DIR):
+        if name.endswith((".cpp", ".hpp", ".h")):
+            if os.path.getmtime(os.path.join(_NATIVE_DIR, name)) > lib_mtime:
+                return True
+    return False
+
+
 def _build() -> bool:
     try:
         subprocess.run(
@@ -50,7 +62,7 @@ def load_library() -> ctypes.CDLL:
     global _lib
     if _lib is not None:
         return _lib
-    if not os.path.exists(_LIB_PATH) and not _build():
+    if _stale() and not _build():
         raise NativeUnavailable(f"cannot build {_LIB_PATH} (no toolchain?)")
     lib = ctypes.CDLL(_LIB_PATH)
     lib.rmt_ingest_open_file.argtypes = [ctypes.c_char_p, ctypes.c_int, ctypes.c_size_t, ctypes.c_size_t]
