@@ -336,6 +336,46 @@ def cmd_adsb(args):
         source.close()
 
 
+def cmd_sdrtest(args):
+    """rtl_test-style SDR health benchmark (drops + sample-clock PPM)."""
+    import json
+
+    from radio_mapper_tpu.tools import sdr_test
+
+    host, _, port = args.rtl_tcp.partition(":")
+    if args.loopback:
+        # Hermetic self-drive: serve a simulated source in-process and
+        # benchmark our own transport (no hardware needed).
+        from radio_mapper_tpu import sim
+        from radio_mapper_tpu.ingest import SimulatedSource
+        from radio_mapper_tpu.net import rtl_tcp
+
+        server = rtl_tcp.RtlTcpServer(
+            SimulatedSource(sim.default_scenario(signal="tone"), 0),
+            host="127.0.0.1",
+            port=int(port or 1234),
+            throttle=args.throttle,
+        )
+        rtl_tcp.serve_in_thread(server)
+        host = "127.0.0.1"
+    report = sdr_test.sdr_test_rtl_tcp(
+        host,
+        int(port or 1234),
+        sample_rate_hz=args.sample_rate,
+        drop_seconds=args.drop_seconds,
+        ppm_seconds=args.ppm_seconds,
+    )
+    print(json.dumps(report, indent=2))
+    d = report["drop_test"]
+    p = report["ppm_test"]
+    print(
+        f"# drops: {d['lost_bytes']} bytes in {d['gaps']} gaps "
+        f"({100*d['loss_ratio']:.4f}% loss); "
+        f"rate: {p['measured_rate_hz']:.0f} Hz vs nominal "
+        f"{p['nominal_rate_hz']:.0f} ({p['ppm_error']:+.1f} ppm)"
+    )
+
+
 def cmd_bench(args):
     import bench as bench_mod
 
@@ -521,6 +561,21 @@ def build_parser() -> argparse.ArgumentParser:
     s.add_argument("--bandwidth", type=float, default=110e3)
     s.add_argument("--snr", type=float, default=25.0)
     s.set_defaults(fn=cmd_stream)
+
+    s = sub.add_parser(
+        "sdrtest", help="SDR drop/PPM health benchmark (rtl_test parity)"
+    )
+    s.add_argument("--rtl-tcp", default="127.0.0.1:1234")
+    s.add_argument("--sample-rate", type=float, default=2_048_000.0)
+    s.add_argument("--drop-seconds", type=float, default=5.0)
+    s.add_argument("--ppm-seconds", type=float, default=10.0)
+    s.add_argument(
+        "--loopback", action="store_true",
+        help="serve a simulated source in-process and test our own transport",
+    )
+    s.add_argument("--throttle", action="store_true",
+                   help="loopback server paces at the nominal sample rate")
+    s.set_defaults(fn=cmd_sdrtest)
 
     s = sub.add_parser("bench", help="run the throughput benchmark")
     s.set_defaults(fn=cmd_bench)

@@ -105,6 +105,9 @@ class RtlTcpClient:
     def set_freq_correction(self, ppm: int):
         self._send(CMD_SET_FREQ_CORRECTION, int(ppm))
 
+    def set_test_mode(self, on: bool):
+        self._send(CMD_SET_TEST_MODE, 1 if on else 0)
+
     def set_agc_mode(self, on: bool):
         self._send(CMD_SET_AGC_MODE, int(on))
 
@@ -200,7 +203,8 @@ class RtlTcpServer:
         self.tuner_type = tuner_type
         self.throttle = throttle
         self._server: Optional[asyncio.AbstractServer] = None
-        self.state = {"gain_mode": 0, "gain": 0, "agc": 0, "ppm": 0}
+        self.state = {"gain_mode": 0, "gain": 0, "agc": 0, "ppm": 0, "test_mode": 0}
+        self._test_counter = 0  # continuous 8-bit counter across chunks
 
     async def _handle_commands(self, reader: asyncio.StreamReader):
         while True:
@@ -220,9 +224,15 @@ class RtlTcpServer:
                 self.state["ppm"] = param
             elif cmd == CMD_SET_AGC_MODE:
                 self.state["agc"] = param
+            elif cmd == CMD_SET_TEST_MODE:
+                # RTL2832 test mode: the demod replaces samples with an
+                # 8-bit incrementing counter so clients can detect drops
+                # (`Code/src/rtl_test.c:109-135` consumes this).
+                self.state["test_mode"] = param
+                self._test_counter = 0
+                logger.info("rtl_tcp: test mode %s", "on" if param else "off")
             elif cmd in (
                 CMD_SET_IF_GAIN,
-                CMD_SET_TEST_MODE,
                 CMD_SET_DIRECT_SAMPLING,
                 CMD_SET_OFFSET_TUNING,
                 CMD_SET_RTL_XTAL,
@@ -242,8 +252,16 @@ class RtlTcpServer:
         loop = asyncio.get_event_loop()
         try:
             while True:
-                iq = await loop.run_in_executor(None, self.source.read, self.chunk_samples)
-                writer.write(np.asarray(iq_ops.encode_uint8_iq(iq)).tobytes())
+                if self.state["test_mode"]:
+                    nbytes = self.chunk_samples * 2
+                    counter = (self._test_counter + np.arange(nbytes)) & 0xFF
+                    self._test_counter = (self._test_counter + nbytes) & 0xFF
+                    writer.write(counter.astype(np.uint8).tobytes())
+                else:
+                    iq = await loop.run_in_executor(None, self.source.read, self.chunk_samples)
+                    # numpy encoder: the server is host-side IO — the jnp
+                    # codec would bounce every chunk through the device.
+                    writer.write(iq_ops.encode_uint8_iq_numpy(np.asarray(iq)).tobytes())
                 await writer.drain()
                 if self.throttle:
                     await asyncio.sleep(self.chunk_samples / self.source.sample_rate_hz)

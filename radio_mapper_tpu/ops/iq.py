@@ -51,6 +51,18 @@ def encode_uint8_iq(iq: jax.Array, *, scale: float = 1.0) -> jax.Array:
     return jnp.clip(jnp.round(interleaved), 0.0, 255.0).astype(jnp.uint8)
 
 
+def encode_uint8_iq_numpy(iq: np.ndarray, *, scale: float = 1.0) -> np.ndarray:
+    """Host-side (numpy) encoder — for network/file IO paths that must not
+    touch the accelerator (the jnp version would round-trip every chunk
+    through the device)."""
+    i = np.clip(np.round(np.real(iq) / scale + UINT8_OFFSET), 0, 255)
+    q = np.clip(np.round(np.imag(iq) / scale + UINT8_OFFSET), 0, 255)
+    out = np.empty((*np.shape(iq)[:-1], 2 * np.shape(iq)[-1]), dtype=np.uint8)
+    out[..., 0::2] = i.astype(np.uint8)
+    out[..., 1::2] = q.astype(np.uint8)
+    return out
+
+
 def decode_uint8_iq_numpy(raw: np.ndarray, *, scale: float = 1.0) -> np.ndarray:
     """NumPy float64 golden-model decode (for tests and offline tools)."""
     f = (raw.astype(np.float64) - UINT8_OFFSET) * scale
