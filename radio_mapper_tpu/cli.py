@@ -29,6 +29,29 @@ def _setup_logging(verbose: bool):
     )
 
 
+# Host utility commands run on CPU unless --backend overrides: their
+# workloads are tiny, and routing them through a remote TPU runtime costs
+# the full device-init latency and risks UNIMPLEMENTED ops outside the
+# pipeline's vetted op set. Pipeline/bench commands keep the default
+# backend (the real chip).
+_CPU_DEFAULT_COMMANDS = {
+    "demod", "adsb", "scan", "analyze", "capture", "sdrtest",
+    "eeprom", "test", "setup", "web", "server",
+}
+
+
+def _apply_backend(args):
+    choice = getattr(args, "backend", None) or (
+        "cpu" if args.command in _CPU_DEFAULT_COMMANDS else "auto"
+    )
+    if choice == "cpu":
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+    # "auto" leaves the environment's platform selection untouched;
+    # "tpu" is the same as auto here (the env already prefers the chip).
+
+
 def cmd_server(args):
     from radio_mapper_tpu.runtime.central import CentralProcessor
 
@@ -275,7 +298,29 @@ def cmd_demod(args):
     n = int(args.seconds * args.sample_rate)
     iq = source.read(n)
     source.close()
-    if args.mode == "wbfm":
+    if args.squelch > 0:
+        # rtl_fm's -l power gate (`rtl_fm.c:868-878`): mute below threshold.
+        iq_arr, open_ = demod_ops.squelch(jnp.asarray(iq), args.squelch)
+        iq = np.asarray(iq_arr)
+        if not bool(np.asarray(open_)):
+            print("# squelch closed (mean power below threshold); output muted")
+    if args.mode == "raw":
+        # rtl_fm raw mode: no demodulation — interleaved I/Q s16 at the
+        # capture rate (`rtl_fm.c`'s raw output path).
+        a = np.empty(2 * len(iq), np.float32)
+        a[0::2] = np.real(iq)
+        a[1::2] = np.imag(iq)
+        peak = np.abs(a).max() + 1e-12
+        pcm = np.clip(a / peak * 32000.0, -32767, 32767).astype(np.int16)
+        pcm.tofile(args.output)
+        print(f"wrote {pcm.size} s16le raw I/Q values @ {args.sample_rate:.0f} Hz to {args.output}")
+        return
+    if args.mode == "nbfm":
+        audio = demod_ops.nbfm_pipeline(
+            jnp.asarray(iq), sample_rate_hz=args.sample_rate,
+            audio_rate_hz=args.audio_rate,
+        )
+    elif args.mode == "wbfm":
         audio = demod_ops.wbfm_pipeline(
             jnp.asarray(iq), sample_rate_hz=args.sample_rate,
             audio_rate_hz=args.audio_rate,
@@ -465,6 +510,11 @@ def build_parser() -> argparse.ArgumentParser:
         prog="radio_mapper_tpu", description="TPU-native TDOA geolocation framework"
     )
     p.add_argument("-v", "--verbose", action="store_true")
+    p.add_argument(
+        "--backend", choices=["auto", "cpu", "tpu"], default=None,
+        help="JAX platform; utility commands default to cpu, "
+             "pipeline/bench commands to the environment default",
+    )
     sub = p.add_subparsers(dest="command", required=True)
 
     s = sub.add_parser("server", help="run the central processor")
@@ -524,7 +574,13 @@ def build_parser() -> argparse.ArgumentParser:
     s.set_defaults(fn=cmd_capture)
 
     s = sub.add_parser("demod", help="demodulate to audio PCM (rtl_fm parity)")
-    s.add_argument("--mode", choices=["wbfm", "am", "usb", "lsb"], default="wbfm")
+    s.add_argument(
+        "--mode",
+        choices=["wbfm", "nbfm", "am", "usb", "lsb", "raw"],
+        default="wbfm",
+    )
+    s.add_argument("--squelch", type=float, default=0.0,
+                   help="mean-power squelch threshold (rtl_fm -l), 0 = off")
     s.add_argument("--source", choices=["sim", "rtl_tcp", "rtl_sdr"], default="sim")
     s.add_argument("--rtl-tcp", default="127.0.0.1:1234")
     s.add_argument("--frequency", type=float, default=105.7, help="MHz")
@@ -599,6 +655,7 @@ def build_parser() -> argparse.ArgumentParser:
 def main(argv=None):
     args = build_parser().parse_args(argv)
     _setup_logging(args.verbose)
+    _apply_backend(args)
     args.fn(args)
 
 

@@ -117,6 +117,28 @@ def resample_pow2(audio: jnp.ndarray, out_len: int) -> jnp.ndarray:
     return jnp.real(fft_ops.ifft(out_spec)) * (out_len / n)
 
 
+def nbfm_pipeline(
+    iq: jnp.ndarray,
+    *,
+    sample_rate_hz: float,
+    audio_rate_hz: float = 16_000.0,
+    deemph_tau_s: Optional[float] = None,
+) -> jnp.ndarray:
+    """Narrowband-FM chain (`rtl_fm -M fm`): demod → decimate → DC block.
+
+    Deemphasis is off by default, matching rtl_fm's fm mode where `-E deemp`
+    is opt-in (`rtl_fm.c:596-616` applied only when enabled).
+    """
+    audio = fm_demod(iq)
+    factor = max(1, int(round(sample_rate_hz / audio_rate_hz)))
+    audio = decimate(audio, factor)
+    if deemph_tau_s:
+        audio, _ = deemphasis(
+            audio, sample_rate_hz=sample_rate_hz / factor, tau_s=deemph_tau_s
+        )
+    return dc_block(audio)
+
+
 def wbfm_pipeline(
     iq: jnp.ndarray,
     *,

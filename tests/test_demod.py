@@ -105,3 +105,42 @@ def test_wbfm_pipeline_end_to_end():
     spec = np.abs(np.fft.rfft(audio * np.hanning(audio.size)))
     peak = f[np.argmax(spec[5:]) + 5]
     assert abs(peak - 1000.0) < 20.0
+
+
+def test_nbfm_pipeline_recovers_tone():
+    iq, msg = _fm_signal(msg_hz=400.0, dev_hz=2500.0)
+    audio = np.asarray(
+        demod.nbfm_pipeline(jnp.asarray(iq), sample_rate_hz=FS, audio_rate_hz=16_000.0)
+    )
+    factor = int(FS / 16_000.0)
+    assert audio.shape[-1] == N // factor
+    # Decimated message reference (boxcar average like the pipeline).
+    ref = msg[: N - N % factor].reshape(-1, factor).mean(axis=-1)
+    corr = np.corrcoef(audio[4:], ref[4:])[0, 1]
+    assert corr > 0.99
+
+
+def test_nbfm_optional_deemphasis_attenuates_highs():
+    # With deemphasis the high-frequency tone comes out smaller.
+    iq_hi, _ = _fm_signal(msg_hz=6000.0, dev_hz=2500.0)
+    plain = np.asarray(demod.nbfm_pipeline(jnp.asarray(iq_hi), sample_rate_hz=FS))
+    deemph = np.asarray(
+        demod.nbfm_pipeline(jnp.asarray(iq_hi), sample_rate_hz=FS, deemph_tau_s=75e-6)
+    )
+    assert np.std(deemph) < 0.7 * np.std(plain)
+
+
+def test_demod_cli_raw_and_nbfm(tmp_path):
+    from radio_mapper_tpu import cli
+
+    out = tmp_path / "audio.pcm"
+    cli.main(["demod", "--mode", "raw", "--source", "sim",
+              "--seconds", "0.05", "--output", str(out)])
+    raw = np.fromfile(out, np.int16)
+    assert raw.size == 2 * int(0.05 * 1_024_000)
+
+    out2 = tmp_path / "audio2.pcm"
+    cli.main(["demod", "--mode", "nbfm", "--source", "sim",
+              "--seconds", "0.05", "--output", str(out2)])
+    pcm = np.fromfile(out2, np.int16)
+    assert pcm.size > 0 and np.abs(pcm).max() <= 32000
