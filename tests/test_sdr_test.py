@@ -101,3 +101,21 @@ def test_rtl_tcp_test_mode_counter_end_to_end():
         client.set_test_mode(False)
     finally:
         client.close()
+
+
+def test_sdrtest_cli_loopback(capsys):
+    """Full CLI drive: in-process server, counter lock, zero drops."""
+    import json
+
+    from radio_mapper_tpu import cli
+
+    cli.main([
+        "sdrtest", "--loopback", "--rtl-tcp", "127.0.0.1:18991",
+        "--drop-seconds", "0.5", "--ppm-seconds", "0.3",
+    ])
+    out = capsys.readouterr().out
+    report = json.loads(out[: out.rindex("}") + 1])
+    assert report["drop_test"]["lost_bytes"] == 0
+    assert report["drop_test"]["gaps"] == 0
+    assert report["drop_test"]["total_bytes"] > 100_000
+    assert report["ppm_test"]["total_samples"] > 0
