@@ -83,6 +83,9 @@ class BuoyNode:
         self.queue: asyncio.Queue = asyncio.Queue(maxsize=1000)
         self.signals_detected = 0
         self.signal_history: deque = deque(maxlen=config.history_size)
+        # (detection, IQ snippet) pairs for waveform pattern matching —
+        # the snippets the reference stores but never matches against.
+        self.snippet_history: deque = deque(maxlen=config.history_size)
         self.started_at = time.time()
         self.latest_detection_ts: Optional[str] = None
         self.running = False
@@ -181,8 +184,10 @@ class BuoyNode:
         detections = await asyncio.get_event_loop().run_in_executor(
             None, self.detect_block, iq, center_hz
         )
+        snippet = self.extract_snippet(iq, 0) if len(detections) else None
         for d in detections:
             self.signal_history.append(d)
+            self.snippet_history.append((d, snippet))
             if d.signal_type == "emergency":
                 logger.warning("EMERGENCY SIGNAL DETECTED: %.3f MHz", d.frequency_mhz)
         return detections
@@ -213,6 +218,57 @@ class BuoyNode:
                     continue
             matches.append(det)
         return matches
+
+    def match_signal_pattern(
+        self,
+        pattern,
+        *,
+        min_score: float = 0.5,
+        frequency_mhz: Optional[float] = None,
+        frequency_range_mhz: Optional[Tuple[float, float]] = None,
+        max_age_minutes: float = 60.0,
+    ):
+        """Waveform search: rank history snippets by normalized circular
+        cross-correlation against ``pattern`` (complex array).
+
+        Returns ``[(detection, score, lag_samples)]`` sorted best-first,
+        filtered to ``score >= min_score``. Metadata gates (frequency/age)
+        apply first, mirroring `search_signal_history`.
+        """
+        import numpy as np
+
+        from radio_mapper_tpu.ops import match as match_ops
+
+        allowed = {
+            id(d)
+            for d in self.search_signal_history(
+                frequency_mhz=frequency_mhz,
+                frequency_range_mhz=frequency_range_mhz,
+                max_age_minutes=max_age_minutes,
+            )
+        }
+        cands = [
+            (d, s)
+            for d, s in self.snippet_history
+            if id(d) in allowed and s is not None
+        ]
+        if not cands:
+            return []
+        n = self.config.snippet_samples
+        q = np.zeros(n, np.complex64)
+        pat = np.asarray(pattern, np.complex64)[:n]
+        q[: pat.size] = pat
+        hist = np.stack(
+            [np.pad(np.asarray(s, np.complex64)[:n], (0, max(0, n - len(s)))) for _, s in cands]
+        )
+        scores, lags = match_ops.snippet_match_scores_np(hist, q)
+        out = [
+            (d, float(scores[k]), int(lags[k]))
+            for k, (d, _) in enumerate(cands)
+            if scores[k] >= min_score
+        ]
+        out.sort(key=lambda t: -t[1])
+        return out
 
     async def _scan_loop(self):
         while self.running:
@@ -288,20 +344,41 @@ class BuoyNode:
             mtype = data.get("type")
             if mtype == "signal_search_request":
                 req = data.get("data", {})
-                matches = self.search_signal_history(
+                filters = dict(
                     frequency_mhz=req.get("frequency_mhz"),
                     frequency_range_mhz=tuple(req["frequency_range_mhz"])
                     if req.get("frequency_range_mhz")
                     else None,
                     max_age_minutes=req.get("max_age_minutes", 60.0),
                 )
+                if req.get("iq_pattern"):
+                    # Waveform search: [re, im] pairs on the wire
+                    # (NumpyJSONEncoder's complex format).
+                    pattern = [
+                        complex(v[0], v[1]) if isinstance(v, (list, tuple)) else complex(v)
+                        for v in req["iq_pattern"]
+                    ]
+                    ranked = self.match_signal_pattern(
+                        pattern,
+                        min_score=req.get("min_score", 0.5),
+                        **filters,
+                    )
+                    matches = [
+                        {**dataclasses.asdict(d), "match_score": s, "match_lag": lag}
+                        for d, s, lag in ranked
+                    ]
+                else:
+                    matches = [
+                        dataclasses.asdict(m)
+                        for m in self.search_signal_history(**filters)
+                    ]
                 await ws.send(
                     json.dumps(
                         {
                             "type": "signal_search_response",
                             "request_id": req.get("request_id"),
                             "node_id": self.config.buoy_id,
-                            "matches": [dataclasses.asdict(m) for m in matches],
+                            "matches": matches,
                         },
                         cls=NumpyJSONEncoder,
                     )
