@@ -111,6 +111,8 @@ class CentralProcessor:
         self._ws_server = None
         self._http_runner = None
         self._cleanup_task = None
+        # request_id → queue of node signal_search_response payloads
+        self._pending_searches: Dict[str, asyncio.Queue] = {}
 
     # ------------------------------------------------------------------ WS
 
@@ -203,6 +205,12 @@ class CentralProcessor:
                 detection.signal_strength_dbm,
             )
             await self.process_signal_correlations()
+
+        elif msg_type == "signal_search_response":
+            rid = data.get("request_id")
+            q = self._pending_searches.get(rid)
+            if q is not None:
+                q.put_nowait(data)
 
         elif msg_type == "heartbeat":
             hb_id = data.get("node_id") or node_id
@@ -393,12 +401,75 @@ class CentralProcessor:
             ]
         )
 
+    async def distributed_signal_search(
+        self, payload: dict, *, timeout_s: float = 5.0
+    ) -> list:
+        """Fan a `signal_search_request` out to every connected node and
+        aggregate their match lists (tagged with the responding node).
+
+        This is the service plane for the waveform/metadata history search
+        buoys answer locally; responses arriving after ``timeout_s`` are
+        dropped (nodes are remote and may be gone).
+        """
+        rid = uuid.uuid4().hex
+        queue: asyncio.Queue = asyncio.Queue()
+        self._pending_searches[rid] = queue
+        msg = json.dumps(
+            {"type": "signal_search_request", "data": {**payload, "request_id": rid}},
+            cls=NumpyJSONEncoder,
+        )
+        queried = 0
+        for node in list(self.nodes.values()):
+            try:
+                await node.websocket.send(msg)
+                queried += 1
+            except Exception:
+                logger.warning("search fan-out to %s failed", node.node_id)
+        matches: list = []
+        try:
+            deadline = asyncio.get_event_loop().time() + timeout_s
+            for _ in range(queried):
+                remaining = deadline - asyncio.get_event_loop().time()
+                if remaining <= 0:
+                    break
+                resp = await asyncio.wait_for(queue.get(), timeout=remaining)
+                nid = resp.get("node_id")
+                for m in resp.get("matches", []):
+                    matches.append({**m, "node_id": nid})
+        except asyncio.TimeoutError:
+            pass
+        finally:
+            del self._pending_searches[rid]
+        matches.sort(key=lambda m: -m.get("match_score", m.get("confidence", 0.0)))
+        return matches
+
     async def api_search_signal(self, request) -> web.Response:
-        """POST `/api/search_signal` (`central_processor.py:205-235`)."""
+        """POST `/api/search_signal` (`central_processor.py:205-235`).
+
+        With an ``iq_pattern`` field ([re, im] pairs) the search fans out
+        to the live nodes as a waveform match instead of scanning the
+        central fix buffer.
+        """
         try:
             data = await request.json()
         except json.JSONDecodeError:
             return self._json({"error": "invalid JSON"}, status=400)
+        if data.get("iq_pattern"):
+            payload = {
+                k: data[k]
+                for k in (
+                    "iq_pattern", "min_score", "frequency_mhz",
+                    "frequency_range_mhz", "max_age_minutes",
+                )
+                if k in data
+            }
+            matches = await self.distributed_signal_search(
+                payload, timeout_s=float(data.get("timeout_s", 5.0))
+            )
+            return self._json(
+                {"matches": matches, "count": len(matches),
+                 "nodes_queried": len(self.nodes)}
+            )
         frequency = data.get("frequency_mhz")
         if frequency is None:
             return self._json({"error": "frequency_mhz required"}, status=400)
