@@ -64,6 +64,11 @@ class BuoyNodeConfig:
     reconnect_max_s: float = 60.0
     history_size: int = 1000  # `iq_stream_client.py:179`
     snippet_samples: int = 256  # `iq_stream_client.py:306`
+    gps_update_interval_s: float = 60.0  # `buoy_node.py:657-681`
+    # On capture failure, emit simulated detections instead of a dead
+    # dwell (reference dev behavior `buoy_node.py:459-467, 471-525`);
+    # None = follow development_mode.
+    fallback_simulation: Optional[bool] = None
 
 
 class BuoyNode:
@@ -179,6 +184,12 @@ class BuoyNode:
                 None, self.source.read, self.config.block_len
             )
         except Exception as e:
+            fallback = self.config.fallback_simulation
+            if fallback is None:
+                fallback = self.config.development_mode
+            if fallback:
+                logger.warning("capture failed (%s); simulated fallback", e)
+                return self._fallback_detections(entry)
             logger.error("capture failed (%s); skipping dwell", e)
             return []
         detections = await asyncio.get_event_loop().run_in_executor(
@@ -270,6 +281,36 @@ class BuoyNode:
         out.sort(key=lambda t: -t[1])
         return out
 
+    def _fallback_detections(self, entry) -> List[SignalDetection]:
+        """Simulated detections when the SDR is unavailable (reference
+        `buoy_node.py:471-525`: plausible random signals near the current
+        dwell frequency, low-ish confidence, so the downstream stack stays
+        exercised in dev deployments)."""
+        import random
+
+        out = []
+        iso_ts, gps_ns = self.gps.get_precise_timestamp()
+        lat, lng = self.gps.get_position()
+        for _ in range(random.randint(0, 2)):
+            f_mhz = entry.frequency_mhz + random.uniform(-0.05, 0.05)
+            out.append(
+                SignalDetection(
+                    buoy_id=self.config.buoy_id,
+                    frequency_mhz=round(f_mhz, 3),
+                    signal_strength_dbm=round(random.uniform(-75.0, -45.0), 1),
+                    timestamp_utc=iso_ts,
+                    gps_timestamp_ns=gps_ns,
+                    lat=lat,
+                    lng=lng,
+                    confidence=round(random.uniform(0.3, 0.7), 2),
+                    signal_type=constants.classify_frequency_mhz(f_mhz),
+                )
+            )
+        for d in out:
+            self.signal_history.append(d)
+            self.snippet_history.append((d, None))
+        return out
+
     async def _scan_loop(self):
         while self.running:
             detections = await self.scan_once()
@@ -334,6 +375,27 @@ class BuoyNode:
                 )
             )
             await asyncio.sleep(self.config.heartbeat_interval_s)
+
+    async def _gps_update_loop(self, ws):
+        """Periodic position report (`buoy_node.py:657-681`): keeps the
+        central's registry and the TDoA engine's anchors fresh when the
+        platform drifts (dev-mode GPS jitters, real buoys float)."""
+        while self.running:
+            await asyncio.sleep(self.config.gps_update_interval_s)
+            lat, lng = self.gps.get_position()
+            await ws.send(
+                json.dumps(
+                    {
+                        "type": "gps_update",
+                        "node_id": self.config.buoy_id,
+                        "lat": lat,
+                        "lng": lng,
+                        "timing_accuracy_ns": self.gps.timing_accuracy_ns,
+                        "gps_locked": self.gps.gps_locked,
+                        "timestamp": utc_now_iso(),
+                    }
+                )
+            )
 
     async def _recv_loop(self, ws):
         async for message in ws:
@@ -410,6 +472,7 @@ class BuoyNode:
                         senders = [
                             asyncio.create_task(self._send_loop(ws)),
                             asyncio.create_task(self._heartbeat_loop(ws)),
+                            asyncio.create_task(self._gps_update_loop(ws)),
                             asyncio.create_task(self._recv_loop(ws)),
                         ]
                         done, pending = await asyncio.wait(
