@@ -219,6 +219,7 @@ def cmd_scan(args):
         integration_s=args.integration,
         out_path=args.output,
         passes=args.passes,
+        peak_hold=args.peak,
     )
     if not args.output:
         for line in lines:
@@ -606,6 +607,8 @@ def build_parser() -> argparse.ArgumentParser:
     s.add_argument("--bin-hz", type=float, default=10_000.0)
     s.add_argument("--integration", type=float, default=1.0)
     s.add_argument("--passes", type=int, default=1)
+    s.add_argument("--peak", action="store_true",
+                   help="peak-hold instead of mean integration (rtl_power -P)")
     s.add_argument("--output", help="append CSV rows to this file")
     s.set_defaults(fn=cmd_scan)
 

@@ -87,6 +87,7 @@ def welch_psd_db(
     overlap: float = 0.5,
     window: str = "hann",
     shift: bool = True,
+    reduce: str = "mean",
 ) -> jnp.ndarray:
     """Welch-averaged power spectral density in dB, ``[..., nfft]``.
 
@@ -94,12 +95,17 @@ def welch_psd_db(
     (`config.yaml:102-103`) but never implements averaging; `rtl_power`
     accumulates |X|^2 over an integration interval
     (`Code/src/rtl_power.c:700-708`). This is the batched equivalent.
+    ``reduce="peak"`` keeps the per-bin maximum across frames instead of
+    the mean — rtl_power's peak-hold mode (``-P``, `rtl_power.c:703-706`).
     """
+    if reduce not in ("mean", "peak"):
+        raise ValueError(f"unknown reduce {reduce!r}")
     hop = max(1, int(nfft * (1.0 - overlap)))
     frames = frame_signal(iq, nfft, hop)
     w = jnp.asarray(get_window(window, nfft))
     spec = fft_ops.fft(frames * w, axis=-1)
-    p = jnp.mean(jnp.abs(spec) ** 2, axis=-2)
+    mag2 = jnp.abs(spec) ** 2
+    p = jnp.max(mag2, axis=-2) if reduce == "peak" else jnp.mean(mag2, axis=-2)
     if shift:
         p = jnp.fft.fftshift(p, axes=-1)
     return 10.0 * jnp.log10(p + DB_EPS)

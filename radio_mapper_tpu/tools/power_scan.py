@@ -108,9 +108,17 @@ def plan_scan(
     return ScanPlan(hops=hops, nfft=nfft, bin_hz=actual_bin, sample_rate_hz=sample_rate_hz, crop=crop)
 
 
-def _hop_psd(iq: np.ndarray, plan: ScanPlan, window: str) -> np.ndarray:
+def _hop_psd(
+    iq: np.ndarray, plan: ScanPlan, window: str, reduce: str = "mean"
+) -> np.ndarray:
     psd = np.array(
-        welch_psd_db(jnp.asarray(iq, jnp.complex64), nfft=plan.nfft, window=window, shift=True)
+        welch_psd_db(
+            jnp.asarray(iq, jnp.complex64),
+            nfft=plan.nfft,
+            window=window,
+            shift=True,
+            reduce=reduce,
+        )
     )
     # DC nuke: replace the center bin with its neighbors' mean
     # (rtl_power.c:723-734).
@@ -126,8 +134,14 @@ def run_scan(
     integration_s: float = 1.0,
     window: str = "hamming",
     settle_reads: int = 1,
+    peak_hold: bool = False,
 ) -> ScanResult:
-    """Sweep all hops once. Per hop: retune, flush, integrate, crop."""
+    """Sweep all hops once. Per hop: retune, flush, integrate, crop.
+
+    ``peak_hold=True`` keeps the per-bin maximum over the integration
+    interval instead of the mean (rtl_power ``-P``, `rtl_power.c:703-706`)
+    — useful for catching intermittent bursts in a survey.
+    """
     started = _dt.datetime.now(_dt.timezone.utc)
     samples_per_hop = max(plan.nfft, int(integration_s * plan.sample_rate_hz))
     # Round to a whole number of FFT frames.
@@ -138,7 +152,7 @@ def run_scan(
         for _ in range(settle_reads):  # retune settle + flush (rtl_power.c:531-541)
             source.read(plan.nfft)
         iq = source.read(samples_per_hop)
-        psd = _hop_psd(iq, plan, window)
+        psd = _hop_psd(iq, plan, window, reduce="peak" if peak_hold else "mean")
         rows.append(psd[hop.first_kept_bin : hop.first_kept_bin + hop.keep_bins].copy())
     return ScanResult(
         plan=plan,

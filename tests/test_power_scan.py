@@ -61,6 +61,42 @@ def test_scan_finds_tone():
     assert dbs.max() > np.median(dbs) + 20
 
 
+class BurstSource(ToneSource):
+    """Tone present only in the first ~10% of each read: what rtl_power's
+    peak-hold (-P) mode exists to catch (`rtl_power.c:703-706`)."""
+
+    def read(self, n):
+        out = super().read(n)
+        keep = max(1, n // 10)
+        out[keep:] = self._rng.normal(size=n - keep) * 0.1
+        return out.astype(np.complex64)
+
+
+def test_peak_hold_catches_bursts():
+    lo, hi, bin_hz = 100e6, 101e6, 20e3
+    rate = 2_048_000.0
+    plan = power_scan.plan_scan(lo, hi, bin_hz=bin_hz, sample_rate_hz=rate)
+
+    mean_res = power_scan.run_scan(
+        BurstSource(tone_hz=100.3e6), plan, integration_s=0.2)
+    peak_res = power_scan.run_scan(
+        BurstSource(tone_hz=100.3e6), plan, integration_s=0.2, peak_hold=True)
+
+    freqs = peak_res.frequencies_hz()
+    peak_db = peak_res.flattened_db()
+    mean_db = mean_res.flattened_db()
+    # Both locate the burst, but peak-hold reports the full burst power
+    # while mean integration dilutes it by the duty cycle (~10 dB here).
+    assert abs(freqs[np.argmax(peak_db)] - 100.3e6) < 40e3
+    assert peak_db.max() > mean_db.max() + 6.0
+    # Peak-hold's floor is higher (extreme-value statistics + the burst's
+    # window sidelobes are held, not diluted by duty cycle) but bounded
+    # well under the burst peak itself.
+    floor_lift = np.median(peak_db) - np.median(mean_db)
+    assert 0.0 < floor_lift < 30.0
+    assert peak_db.max() > np.median(peak_db) + 20.0
+
+
 def test_csv_format():
     src = ToneSource()
     lines = power_scan.scan_to_csv(src, 99e6, 100e6, bin_hz=50e3, integration_s=0.02)
