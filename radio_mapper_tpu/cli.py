@@ -268,6 +268,54 @@ def cmd_stream(args):
         )
 
 
+def _parse_freq_specs(specs):
+    """rtl_fm -f frequency list: each entry is a single MHz value or an
+    inclusive ``lower:upper:step`` MHz range (`rtl_fm.c`'s frequency_range
+    parsing). Returns the expanded scan list in MHz."""
+    freqs = []
+    for spec in specs:
+        s = str(spec)
+        if ":" in s:
+            parts = s.split(":")
+            if len(parts) != 3:
+                raise ValueError(f"range must be lower:upper:step, got {s!r}")
+            lo, hi, step = (float(p) for p in parts)
+            if step <= 0 or hi < lo:
+                raise ValueError(f"bad range {s!r}")
+            f = lo
+            while f <= hi + 1e-9:
+                freqs.append(round(f, 9))
+                f += step
+        else:
+            freqs.append(float(s))
+    if not freqs:
+        raise ValueError("no frequencies given")
+    return freqs
+
+
+def _demod_audio(iq, mode, sample_rate, audio_rate):
+    """One block through the selected rtl_fm demod pipeline → float audio."""
+    import jax.numpy as jnp
+
+    from radio_mapper_tpu.ops import demod as demod_ops
+
+    iq = jnp.asarray(iq)
+    if mode == "nbfm":
+        return demod_ops.nbfm_pipeline(
+            iq, sample_rate_hz=sample_rate, audio_rate_hz=audio_rate)
+    if mode == "wbfm":
+        return demod_ops.wbfm_pipeline(
+            iq, sample_rate_hz=sample_rate, audio_rate_hz=audio_rate)
+    factor = max(1, int(sample_rate / audio_rate))
+    if mode == "am":
+        return demod_ops.decimate(demod_ops.am_demod(iq), factor)
+    if mode == "usb":
+        return demod_ops.decimate(
+            demod_ops.usb_demod(iq, sample_rate_hz=sample_rate), factor)
+    return demod_ops.decimate(
+        demod_ops.lsb_demod(iq, sample_rate_hz=sample_rate), factor)
+
+
 def cmd_demod(args):
     """rtl_fm-style demodulator: source → audio PCM (s16le) to a file."""
     import numpy as np
@@ -275,6 +323,8 @@ def cmd_demod(args):
 
     from radio_mapper_tpu.ops import demod as demod_ops
 
+    freqs_mhz = _parse_freq_specs(args.frequency)
+    args.frequency = freqs_mhz[0]
     if args.source == "sim":
         from radio_mapper_tpu import sim
         from radio_mapper_tpu.ingest import SimulatedSource
@@ -296,52 +346,69 @@ def cmd_demod(args):
         source = RtlSdrProcessSource(
             sample_rate_hz=args.sample_rate, center_frequency_hz=args.frequency * 1e6
         )
-    n = int(args.seconds * args.sample_rate)
-    iq = source.read(n)
-    source.close()
-    if args.squelch > 0:
-        # rtl_fm's -l power gate (`rtl_fm.c:868-878`): mute below threshold.
-        iq_arr, open_ = demod_ops.squelch(jnp.asarray(iq), args.squelch)
-        iq = np.asarray(iq_arr)
-        if not bool(np.asarray(open_)):
-            print("# squelch closed (mean power below threshold); output muted")
-    if args.mode == "raw":
-        # rtl_fm raw mode: no demodulation — interleaved I/Q s16 at the
-        # capture rate (`rtl_fm.c`'s raw output path).
-        a = np.empty(2 * len(iq), np.float32)
-        a[0::2] = np.real(iq)
-        a[1::2] = np.imag(iq)
-        peak = np.abs(a).max() + 1e-12
-        pcm = np.clip(a / peak * 32000.0, -32767, 32767).astype(np.int16)
-        pcm.tofile(args.output)
-        print(f"wrote {pcm.size} s16le raw I/Q values @ {args.sample_rate:.0f} Hz to {args.output}")
-        return
-    if args.mode == "nbfm":
-        audio = demod_ops.nbfm_pipeline(
-            jnp.asarray(iq), sample_rate_hz=args.sample_rate,
-            audio_rate_hz=args.audio_rate,
-        )
-    elif args.mode == "wbfm":
-        audio = demod_ops.wbfm_pipeline(
-            jnp.asarray(iq), sample_rate_hz=args.sample_rate,
-            audio_rate_hz=args.audio_rate,
-        )
-    elif args.mode == "am":
-        audio = demod_ops.decimate(
-            demod_ops.am_demod(jnp.asarray(iq)),
-            max(1, int(args.sample_rate / args.audio_rate)),
-        )
-    elif args.mode == "usb":
-        audio = demod_ops.decimate(
-            demod_ops.usb_demod(jnp.asarray(iq), sample_rate_hz=args.sample_rate),
-            max(1, int(args.sample_rate / args.audio_rate)),
-        )
-    else:  # lsb
-        audio = demod_ops.decimate(
-            demod_ops.lsb_demod(jnp.asarray(iq), sample_rate_hz=args.sample_rate),
-            max(1, int(args.sample_rate / args.audio_rate)),
-        )
-    a = np.asarray(audio)
+    if len(freqs_mhz) > 1:
+        # rtl_fm scanning mode: with multiple -f frequencies, squelch is
+        # mandatory and a closed squelch hops to the next frequency
+        # (`rtl_fm.c:939-974` controller thread; hop signal :868-878).
+        if args.squelch <= 0:
+            source.close()
+            raise SystemExit("demod: multiple frequencies require --squelch > 0")
+        if args.mode == "raw":
+            source.close()
+            raise SystemExit("demod: raw mode does not scan; give one frequency")
+        dwell = max(2048, int(args.dwell * args.sample_rate))
+        total = int(args.seconds * args.sample_rate)
+        hits = 0
+        idx = 0
+        open_dwells = {f: 0 for f in freqs_mhz}
+        source.tune(freqs_mhz[idx] * 1e6)
+        parts = []
+        consumed = 0
+        while consumed < total:
+            iq = source.read(dwell)
+            consumed += dwell
+            gated, open_ = demod_ops.squelch(jnp.asarray(iq), args.squelch)
+            if bool(np.asarray(open_)):
+                hits = 0
+                open_dwells[freqs_mhz[idx]] += 1
+                parts.append(np.asarray(_demod_audio(
+                    gated, args.mode, args.sample_rate, args.audio_rate)))
+            else:
+                hits += 1
+                if hits >= args.squelch_hits:  # rtl_fm -t conseq_squelch
+                    hits = 0
+                    idx = (idx + 1) % len(freqs_mhz)
+                    source.tune(freqs_mhz[idx] * 1e6)
+        source.close()
+        for f, count in open_dwells.items():
+            print(f"# {f:.4f} MHz: {count} open dwell(s)")
+        if not parts:
+            print("# squelch never opened on any scanned frequency")
+            np.zeros(0, np.int16).tofile(args.output)
+            return
+        a = np.concatenate(parts)
+    else:
+        n = int(args.seconds * args.sample_rate)
+        iq = source.read(n)
+        source.close()
+        if args.squelch > 0:
+            # rtl_fm's -l power gate (`rtl_fm.c:868-878`): mute below threshold.
+            iq_arr, open_ = demod_ops.squelch(jnp.asarray(iq), args.squelch)
+            iq = np.asarray(iq_arr)
+            if not bool(np.asarray(open_)):
+                print("# squelch closed (mean power below threshold); output muted")
+        if args.mode == "raw":
+            # rtl_fm raw mode: no demodulation — interleaved I/Q s16 at the
+            # capture rate (`rtl_fm.c`'s raw output path).
+            a = np.empty(2 * len(iq), np.float32)
+            a[0::2] = np.real(iq)
+            a[1::2] = np.imag(iq)
+            peak = np.abs(a).max() + 1e-12
+            pcm = np.clip(a / peak * 32000.0, -32767, 32767).astype(np.int16)
+            pcm.tofile(args.output)
+            print(f"wrote {pcm.size} s16le raw I/Q values @ {args.sample_rate:.0f} Hz to {args.output}")
+            return
+        a = np.asarray(_demod_audio(iq, args.mode, args.sample_rate, args.audio_rate))
     peak = np.abs(a).max() + 1e-12
     pcm = np.clip(a / peak * 32000.0, -32767, 32767).astype(np.int16)
     pcm.tofile(args.output)
@@ -584,7 +651,14 @@ def build_parser() -> argparse.ArgumentParser:
                    help="mean-power squelch threshold (rtl_fm -l), 0 = off")
     s.add_argument("--source", choices=["sim", "rtl_tcp", "rtl_sdr"], default="sim")
     s.add_argument("--rtl-tcp", default="127.0.0.1:1234")
-    s.add_argument("--frequency", type=float, default=105.7, help="MHz")
+    s.add_argument(
+        "--frequency", nargs="+", default=["105.7"],
+        help="MHz; several values or lower:upper:step ranges scan with "
+             "squelch-driven hopping (rtl_fm -f list)")
+    s.add_argument("--dwell", type=float, default=0.1,
+                   help="seconds per scan dwell before a squelch decision")
+    s.add_argument("--squelch-hits", type=int, default=1,
+                   help="closed dwells before hopping (rtl_fm -t)")
     s.add_argument("--sample-rate", type=float, default=1_024_000.0)
     s.add_argument("--audio-rate", type=float, default=32_000.0)
     s.add_argument("--seconds", type=float, default=2.0)
