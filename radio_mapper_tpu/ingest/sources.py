@@ -55,7 +55,15 @@ class SimulatedSource(IQSource):
         buoy_index: int,
         *,
         block_cache: int = 1 << 16,
+        pps_align_s: Optional[float] = None,
     ):
+        """``pps_align_s``: when set, every read is anchored to the most
+        recent wall-clock multiple of this period — modeling GPS-PPS-
+        triggered capture, where all receivers sample the same absolute
+        window regardless of their clock-*reading* error. Two sources of
+        the same scenario then return coherently aligned windows, which is
+        what live waveform GCC-PHAT TDOA requires. ``None`` keeps the
+        free-running stream (each read continues where the last ended)."""
         self.scenario = scenario
         self.buoy_index = buoy_index
         self.sample_rate_hz = scenario.sample_rate_hz
@@ -64,6 +72,7 @@ class SimulatedSource(IQSource):
         self._block_cache = block_cache
         self._cache: Optional[np.ndarray] = None
         self._cache_key = None
+        self.pps_align_s = pps_align_s
 
     def _ensure_cache(self):
         on_channel = (
@@ -96,8 +105,16 @@ class SimulatedSource(IQSource):
 
     def read(self, num_samples: int) -> np.ndarray:
         self._ensure_cache()
-        out = np.empty(num_samples, np.complex64)
         n = len(self._cache)
+        if self.pps_align_s is not None:
+            # PPS-triggered capture: the window starts at the latest
+            # wall-clock multiple of the alignment period, so every buoy
+            # of the scenario reads the SAME absolute sample window.
+            window = int(time.time() / self.pps_align_s)
+            self._offset = int(
+                round(window * self.pps_align_s * self.sample_rate_hz)
+            ) % n
+        out = np.empty(num_samples, np.complex64)
         pos = 0
         while pos < num_samples:
             take = min(num_samples - pos, n - self._offset)
@@ -105,6 +122,12 @@ class SimulatedSource(IQSource):
             pos += take
             self._offset = (self._offset + take) % n
         return out
+
+    def window_anchor_ns(self) -> int:
+        """True GPS time of the most recent PPS-aligned window start."""
+        if self.pps_align_s is None:
+            return 0
+        return int(int(time.time() / self.pps_align_s) * self.pps_align_s * 1e9)
 
     def tune(self, center_frequency_hz: float) -> None:
         super().tune(center_frequency_hz)

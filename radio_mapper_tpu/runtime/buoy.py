@@ -64,6 +64,13 @@ class BuoyNodeConfig:
     reconnect_max_s: float = 60.0
     history_size: int = 1000  # `iq_stream_client.py:179`
     snippet_samples: int = 256  # `iq_stream_client.py:306`
+    # Waveform-TDOA snippets: attach this many IQ samples (block-centered)
+    # to every detection sent to central, enabling live GCC-PHAT TDOA —
+    # the reference stores 256-sample snippets "for pattern matching"
+    # (`iq_stream_client.py:306-315`) but never ships or correlates them.
+    # Must exceed 2× the largest expected lag (baseline/c·fs).
+    attach_iq: bool = True
+    iq_snippet_samples: int = 2048
     gps_update_interval_s: float = 60.0  # `buoy_node.py:657-681`
     # On capture failure, emit simulated detections instead of a dead
     # dwell (reference dev behavior `buoy_node.py:459-467, 471-525`);
@@ -128,7 +135,7 @@ class BuoyNode:
             self._detect_jit = jax.jit(fn)
         return self._detect_jit
 
-    def extract_snippet(self, iq: np.ndarray, peak_bin: int) -> np.ndarray:
+    def extract_snippet(self, iq: np.ndarray, peak_bin: int, n: Optional[int] = None) -> np.ndarray:
         """IQ snippet for pattern matching (`iq_stream_client.py:306-315`).
 
         The reference indexes the time series with the FFT *frequency* bin —
@@ -136,12 +143,24 @@ class BuoyNode:
         take the block-centered time slice (well-defined, and the snippet
         carries the detected signal since it spans the whole dwell).
         """
-        n = self.config.snippet_samples
+        n = self.config.snippet_samples if n is None else n
         start = max(0, (len(iq) - n) // 2)
         return np.asarray(iq[start : start + n])
 
-    def detect_block(self, iq: np.ndarray, center_frequency_hz: float) -> List[SignalDetection]:
-        """Run the jitted detector on one block and materialize detections."""
+    def detect_block(
+        self,
+        iq: np.ndarray,
+        center_frequency_hz: float,
+        anchor_ns: int = 0,
+    ) -> List[SignalDetection]:
+        """Run the jitted detector on one block and materialize detections.
+
+        When ``attach_iq`` is set, every detection carries a block-centered
+        ``iq_snippet_samples``-long waveform snippet plus its sample rate
+        and window anchor — the payload central's waveform GCC-PHAT mode
+        correlates across buoys. ``anchor_ns`` is the (buoy-clock) GPS time
+        of the capture window start; 0 falls back to the detection stamp.
+        """
         peaks, bw = self._detector()(iq.astype(np.complex64))
         self.last_bandwidths_hz = np.asarray(bw)
         valid = np.asarray(peaks.valid)
@@ -150,6 +169,11 @@ class BuoyNode:
         confs = np.asarray(peaks.confidence)
         iso_ts, gps_ns = self.gps.get_precise_timestamp()
         lat, lng = self.gps.get_position()
+        wf_snippet = None
+        if self.config.attach_iq:
+            wf_snippet = self.extract_snippet(
+                iq, 0, n=self.config.iq_snippet_samples
+            ).astype(np.complex64)
         out = []
         for k in range(valid.shape[-1]):
             if not valid[k]:
@@ -166,6 +190,9 @@ class BuoyNode:
                     lng=lng,
                     confidence=round(float(confs[k]), 2),
                     signal_type=constants.classify_frequency_mhz(f_mhz),
+                    iq_samples=wf_snippet,
+                    iq_sample_rate_hz=self.config.sample_rate_hz if wf_snippet is not None else 0.0,
+                    iq_anchor_ns=anchor_ns if anchor_ns else gps_ns,
                 )
             )
         return out
@@ -192,8 +219,20 @@ class BuoyNode:
                 return self._fallback_detections(entry)
             logger.error("capture failed (%s); skipping dwell", e)
             return []
+        # Capture-window anchor: PPS-triggering sources report the true
+        # window start; the buoy stamps it through its own (possibly
+        # offset) clock, as real hardware would.
+        anchor_ns = 0
+        getter = getattr(self.source, "window_anchor_ns", None)
+        if getter is not None:
+            try:
+                anchor_ns = int(getter())
+            except Exception:
+                anchor_ns = 0
+            if anchor_ns:
+                anchor_ns += getattr(self.gps, "clock_offset_ns", 0)
         detections = await asyncio.get_event_loop().run_in_executor(
-            None, self.detect_block, iq, center_hz
+            None, self.detect_block, iq, center_hz, anchor_ns
         )
         snippet = self.extract_snippet(iq, 0) if len(detections) else None
         for d in detections:
@@ -500,9 +539,19 @@ class BuoyNode:
 
 
 def simulated_buoy(
-    scenario, buoy_index: int, config: Optional[BuoyNodeConfig] = None
+    scenario,
+    buoy_index: int,
+    config: Optional[BuoyNodeConfig] = None,
+    *,
+    clock_offset_ns: int = 0,
 ) -> BuoyNode:
-    """A BuoyNode wired to a SimulatedSource for hardware-free operation."""
+    """A BuoyNode wired to a SimulatedSource for hardware-free operation.
+
+    The source is PPS-aligned to the scan interval (all buoys of the
+    scenario capture the same absolute windows — the GPS-triggered-capture
+    model), and ``clock_offset_ns`` injects this node's clock-reading
+    error into every reported timestamp.
+    """
     b = scenario.buoys[buoy_index]
     cfg = config or BuoyNodeConfig()
     cfg = dataclasses.replace(
@@ -514,4 +563,8 @@ def simulated_buoy(
         development_mode=True,
         power_offset_db=40.0,  # unit-scale synthetic floats vs raw-count dB
     )
-    return BuoyNode(cfg, source=SimulatedSource(scenario, buoy_index))
+    gps = GPSTimeSource(
+        cfg.lat, cfg.lng, development_mode=True, clock_offset_ns=clock_offset_ns
+    )
+    source = SimulatedSource(scenario, buoy_index, pps_align_s=cfg.scan_interval_s)
+    return BuoyNode(cfg, source=source, gps=gps)

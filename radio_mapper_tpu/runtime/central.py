@@ -28,6 +28,7 @@ import json
 import logging
 import time
 import uuid
+from collections import deque
 from datetime import datetime, timedelta, timezone
 from typing import Dict, List, Optional
 
@@ -91,6 +92,13 @@ class CentralProcessor:
 
         self.nodes: Dict[str, NodeConnection] = {}
         self.signal_buffer: List[LiveSignalDetection] = []
+        # Correlation working set: only detections still inside the
+        # correlation window live here, so the per-detection correlation
+        # pass is O(window), not O(buffer) (the reference rescans its whole
+        # buffer on every detection, `central_processor.py:363-397`).
+        # Entries leaving the window get their IQ snippet dropped — the
+        # waveform payload is only useful while correlation can still fire.
+        self._recent: "deque[LiveSignalDetection]" = deque()
         self.triangulated_signals: List[TriangulatedSignal] = []
         self.engine = TDoAEngine(min_buoys=min_nodes)
         self.started_at = time.time()
@@ -195,6 +203,7 @@ class CentralProcessor:
                 except (ValueError, TypeError):
                     pass
             self.signal_buffer.append(detection)
+            self._recent.append(detection)
             self.metrics.inc("detections_received")
             if self.store is not None:
                 self.store.append_detection(detection)
@@ -229,18 +238,23 @@ class CentralProcessor:
         """≤window recent signals, grouped by round(f, 2), ≥min_nodes distinct
         nodes → triangulate (`central_processor.py:363-397`)."""
         now_ts = datetime.now(timezone.utc).timestamp()
-        candidates: List[LiveSignalDetection] = []
-        for det in reversed(self.signal_buffer):
+        # Age the working set: pop detections that left the correlation
+        # window and release their IQ snippets (they stay in signal_buffer
+        # for the HTTP APIs, snippet-free).
+        while self._recent:
+            det = self._recent[0]
             try:
                 ts = parse_iso(det.timestamp_utc).timestamp()
             except (ValueError, TypeError):
+                self._recent.popleft()
                 continue
-            if now_ts - ts > self.correlation_window_s:
+            if now_ts - ts <= self.correlation_window_s:
                 break
-            candidates.append(det)
+            det.iq_samples = None
+            self._recent.popleft()
 
         groups: Dict[float, List[LiveSignalDetection]] = {}
-        for det in candidates:
+        for det in self._recent:
             groups.setdefault(round(det.frequency_mhz, 2), []).append(det)
 
         for freq, dets in groups.items():
@@ -257,6 +271,11 @@ class CentralProcessor:
                     lng=d.lng,
                     confidence=d.confidence,
                     signal_type=d.signal_type,
+                    # IQ snippets ride through to the engine's waveform
+                    # GCC-PHAT mode (the live path the reference never built).
+                    iq_samples=d.iq_samples,
+                    iq_sample_rate_hz=d.iq_sample_rate_hz,
+                    iq_anchor_ns=d.iq_anchor_ns,
                 )
                 for d in dets
             ]
@@ -279,6 +298,19 @@ class CentralProcessor:
                 )
                 self.triangulated_signals.append(signal)
                 self.metrics.inc("fixes_computed")
+                self.metrics.inc(f"fixes_{r.method.replace('+', '_').replace('-', '_')}")
+                # Detection→fix latency (reference stretch target: p95 < 5 s,
+                # `Documents/TDOA_README.md:112-115`): wall time since the
+                # newest contributing detection was stamped at its buoy.
+                try:
+                    newest = max(
+                        parse_iso(d.timestamp_utc).timestamp() for d in dets
+                    )
+                    self.metrics.timer("fix_latency").observe(
+                        max(0.0, datetime.now(timezone.utc).timestamp() - newest)
+                    )
+                except (ValueError, TypeError):
+                    pass
                 if self.alerter.process(signal):
                     self.metrics.inc("emergency_alerts")
                 if self.store is not None:

@@ -64,7 +64,19 @@ class BuoyPosition:
 
 @dataclasses.dataclass
 class SignalDetection:
-    """One detection event from one buoy (`tdoa_processor.py:33-45`)."""
+    """One detection event from one buoy (`tdoa_processor.py:33-45`).
+
+    The three ``iq_*`` fields carry the waveform snippet that enables
+    waveform-level GCC-PHAT TDOA — the capability the reference documents
+    as the fix for its timestamp-mode accuracy collapse
+    (`Documents/TDOA_README.md:66-67`) and extracts snippets for
+    (`iq_stream_client.py:306-315`) but never correlates:
+      iq_samples         — complex baseband snippet around the detection;
+      iq_sample_rate_hz  — snippet sample rate (0 ⇒ no snippet);
+      iq_anchor_ns       — GPS timestamp of the snippet's first sample,
+                           used only for coarse same-dwell gating (the
+                           fine τ comes from the waveforms themselves).
+    """
 
     buoy_id: str
     frequency_mhz: float
@@ -75,6 +87,9 @@ class SignalDetection:
     lng: float
     confidence: float
     signal_type: str = "unknown"
+    iq_samples: Optional[Any] = None  # ndarray or list of complex
+    iq_sample_rate_hz: float = 0.0
+    iq_anchor_ns: int = 0
 
 
 @dataclasses.dataclass
@@ -93,6 +108,8 @@ class LiveSignalDetection:
     bandwidth_hz: float = 10_000.0
     detection_method: str = "unknown"
     iq_samples: Optional[List[complex]] = None
+    iq_sample_rate_hz: float = 0.0
+    iq_anchor_ns: int = 0
 
     @classmethod
     def from_message(cls, data: Dict) -> "LiveSignalDetection":

@@ -126,7 +126,14 @@ class GPSTimeSource:
         development_mode: bool = False,
         device: Optional[str] = None,
         rng: Optional[random.Random] = None,
+        clock_offset_ns: int = 0,
     ):
+        """``clock_offset_ns`` simulates this node's clock-reading error:
+        it is added to every reported timestamp (the 100 µs-class sync
+        error of the reference's dev GPS, `buoy_node.py:85`). It models the
+        *reading* of the clock only — a GPS PPS edge still aligns capture
+        windows at ns scale, which is why waveform TDOA survives it while
+        timestamp differencing does not."""
         self.configured_lat = lat
         self.configured_lng = lng
         self.development_mode = development_mode
@@ -135,6 +142,7 @@ class GPSTimeSource:
         self.timing_accuracy_ns = 1_000_000  # 1 ms until locked
         self.lat = lat
         self.lng = lng
+        self.clock_offset_ns = int(clock_offset_ns)
         self._rng = rng or random.Random(0xB00F)
 
     def initialize(self) -> bool:
@@ -158,10 +166,14 @@ class GPSTimeSource:
         return False
 
     def get_precise_timestamp(self) -> Tuple[str, int]:
-        """(ISO UTC string, epoch nanoseconds) (`buoy_node.py:113-126`)."""
+        """(ISO UTC string, epoch nanoseconds) (`buoy_node.py:113-126`).
+
+        The nanosecond value carries this node's simulated clock-reading
+        offset so downstream timestamp differencing sees realistic sync
+        error."""
         from radio_mapper_tpu.runtime.datamodel import utc_now_iso
 
-        return utc_now_iso(), time.time_ns()
+        return utc_now_iso(), time.time_ns() + self.clock_offset_ns
 
     def get_position(self) -> Tuple[float, float]:
         return self.lat, self.lng

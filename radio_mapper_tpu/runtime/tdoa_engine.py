@@ -10,9 +10,17 @@ instead of a Python loop with per-group scipy BFGS.
 Two measurement modes:
 - timestamp mode (reference behavior): Δt from `gps_timestamp_ns`
   (`tdoa_processor.py:166-170`);
-- waveform mode: when detections carry IQ snippets, Δt from GCC-PHAT on
-  the waveforms — the capability the reference documents as the fix for
-  its accuracy gap (`Documents/TDOA_README.md:66-67`).
+- waveform mode (:meth:`TDoAEngine.measurements_from_waveforms`): when
+  detections carry IQ snippets, Δt comes from batched GCC-PHAT on the
+  waveforms themselves — the capability the reference documents as the
+  fix for its accuracy gap (`Documents/TDOA_README.md:66-67`), imports
+  scipy for (`tdoa_processor.py:20`) and never built. Snippets from the
+  same GPS-PPS-aligned dwell correlate to sub-sample τ regardless of the
+  buoys' clock-*reading* error, because the PPS edge (ns-class) aligns
+  the capture windows while the 100 µs-class error lives only in the
+  reported timestamps; fixes solved this way carry
+  ``method="gcc-phat+lm"``. Timestamp differencing remains the fallback
+  when fewer than ``min_buoys`` snippets are present.
 
 Reference bugs deliberately NOT reproduced (SURVEY §7): the central
 processor calling a nonexistent `triangulate_signal` method, reading a
@@ -90,13 +98,33 @@ class TDoAEngine:
         frequency_tolerance_mhz: float = DEFAULT_FREQ_TOLERANCE_MHZ,
         solver_iterations: int = 40,
         solver_starts: int = 4,
+        waveform_mode: str = "auto",  # auto | always | never
+        waveform_max_lag: Optional[int] = None,
+        # Same-dwell anchor clustering tolerance. Must absorb the clock-
+        # reading error (~100 µs class) while staying well below the dwell
+        # spacing (≥ the buoys' scan interval), or adjacent dwells chain
+        # into one cluster and mismatched windows get correlated.
+        waveform_anchor_tolerance_s: float = 0.05,
+        gcc_eps: float = 0.05,
+        psr_floor: float = 1.2,
+        psr_scale: float = 2.0,
     ):
+        if waveform_mode not in ("auto", "always", "never"):
+            raise ValueError(f"unknown waveform_mode {waveform_mode!r}")
         self.buoy_positions: Dict[str, BuoyPosition] = {}
         self.min_buoys = min_buoys
         self.correlation_window_s = correlation_window_s
         self.frequency_tolerance_mhz = frequency_tolerance_mhz
         self.solver_iterations = solver_iterations
         self.solver_starts = solver_starts
+        self.waveform_mode = waveform_mode
+        self.waveform_max_lag = waveform_max_lag
+        self.waveform_anchor_tolerance_s = waveform_anchor_tolerance_s
+        self.gcc_eps = gcc_eps
+        self.psr_floor = psr_floor
+        self.psr_scale = psr_scale
+        # jitted GCC-PHAT programs keyed by static (B, N, max_lag) shape.
+        self._gcc_cache: Dict[Tuple[int, int, int], object] = {}
 
     # -- registry ---------------------------------------------------------
 
@@ -153,6 +181,156 @@ class TDoAEngine:
                         frequency_mhz=d1.frequency_mhz,
                     )
                 )
+        return out
+
+    # -- waveform (GCC-PHAT) measurements ---------------------------------
+
+    def _gcc_all_pairs(self, num_buoys: int, n: int, max_lag: int):
+        """Cached jitted all-pairs GCC-PHAT for a static shape signature."""
+        key = (num_buoys, n, max_lag)
+        fn = self._gcc_cache.get(key)
+        if fn is None:
+            import functools
+
+            import jax
+
+            from radio_mapper_tpu.ops import gcc_phat as gcc_ops
+
+            # sample_rate is applied host-side (from lag_samples), so the
+            # compiled program is reusable across capture rates.
+            fn = jax.jit(
+                functools.partial(
+                    gcc_ops.gcc_phat_all_pairs,
+                    sample_rate_hz=1.0,
+                    max_lag=max_lag,
+                    weighting="phat",
+                    eps=self.gcc_eps,
+                )
+            )
+            self._gcc_cache[key] = fn
+        return fn
+
+    def _waveform_max_lag(self, buoy_ids: Sequence[str], n: int, fs: float) -> int:
+        """Lag window covering the largest baseline among ``buoy_ids``.
+
+        GCC lag must span the true propagation-delay difference; with
+        PPS-aligned windows no clock-error margin is needed. Quantized up
+        to a multiple of 64 to bound jit-cache growth across geometries.
+        """
+        if self.waveform_max_lag is not None:
+            return min(self.waveform_max_lag, n - 1)
+        positions = [self.buoy_positions[b] for b in buoy_ids]
+        lat0 = float(np.mean([p.lat for p in positions]))
+        lng0 = float(np.mean([p.lng for p in positions]))
+        enu = np.stack(
+            [
+                geo.lat_lng_to_enu_np(p.lat, p.lng, p.altitude, lat0, lng0, 0.0)
+                for p in positions
+            ]
+        )
+        baseline = 0.0
+        for i in range(len(enu)):
+            for j in range(i + 1, len(enu)):
+                baseline = max(baseline, float(np.linalg.norm(enu[i] - enu[j])))
+        lag = int(np.ceil(baseline / SPEED_OF_LIGHT_M_S * fs)) + 16
+        lag = ((lag + 63) // 64) * 64
+        return max(64, min(lag, n - 1))
+
+    def measurements_from_waveforms(
+        self, detections: Sequence[SignalDetection]
+    ) -> List[TDoAMeasurement]:
+        """All-pairs sub-sample Δt from the detections' IQ snippets.
+
+        One batched GCC-PHAT program measures every pair at once (the
+        reference's pair loop is `tdoa_processor.py:156-193`; here the pair
+        axis is a batch axis). Requirements per detection: an ``iq_samples``
+        snippet with a common ``iq_sample_rate_hz``, captured in the same
+        PPS-aligned dwell (``iq_anchor_ns`` within
+        ``waveform_anchor_tolerance_s`` of the group median). Returns []
+        when fewer than ``min_buoys`` qualify — callers fall back to
+        timestamp differencing.
+        """
+        cands = [
+            d
+            for d in detections
+            if d.iq_samples is not None
+            and len(d.iq_samples)
+            and d.buoy_id in self.buoy_positions
+        ]
+        if len({d.buoy_id for d in cands}) < self.min_buoys:
+            return []
+
+        rates = {round(float(d.iq_sample_rate_hz), 3) for d in cands}
+        rates.discard(0.0)
+        if len(rates) != 1:
+            if len(rates) > 1:
+                logger.warning("mixed snippet sample rates %s; waveform mode off", rates)
+            return []
+        fs = rates.pop()
+
+        # Same-dwell clustering: snippets only correlate if they come from
+        # the SAME capture window. Greedily cluster by anchor (tolerance
+        # absorbs clock-reading error; different dwells are seconds apart),
+        # then use the cluster covering the most buoys, newest on ties.
+        tol_ns = self.waveform_anchor_tolerance_s * 1e9
+        clusters: List[List[SignalDetection]] = []
+        for d in sorted(cands, key=lambda d: d.iq_anchor_ns):
+            if clusters and d.iq_anchor_ns - clusters[-1][0].iq_anchor_ns <= tol_ns:
+                clusters[-1].append(d)
+            else:
+                clusters.append([d])
+        cluster = max(
+            clusters,
+            key=lambda c: (len({d.buoy_id for d in c}), c[0].iq_anchor_ns),
+        )
+        keep: Dict[str, SignalDetection] = {}
+        for d in cluster:
+            cur = keep.get(d.buoy_id)
+            if cur is None or d.confidence > cur.confidence:
+                keep[d.buoy_id] = d
+        if len(keep) < self.min_buoys:
+            return []
+
+        buoy_ids = sorted(keep)
+        n = min(len(keep[b].iq_samples) for b in buoy_ids)
+        sig = np.stack(
+            [np.asarray(keep[b].iq_samples, np.complex64)[:n] for b in buoy_ids]
+        )
+        max_lag = self._waveform_max_lag(buoy_ids, n, fs)
+        # The service plane correlates small snippet groups host-side; the
+        # TPU runs the bulk pipeline (models.pipeline). Pinning to CPU also
+        # keeps the central service independent of chip/runtime health.
+        import jax
+
+        with jax.default_device(jax.devices("cpu")[0]):
+            peaks = self._gcc_all_pairs(len(buoy_ids), n, max_lag)(sig)
+        lags = np.asarray(peaks.lag_samples, np.float64)
+        psr = np.asarray(peaks.psr, np.float64)
+
+        from radio_mapper_tpu.ops.gcc_phat import pair_indices
+
+        i_idx, j_idx = pair_indices(len(buoy_ids))
+        out: List[TDoAMeasurement] = []
+        freq = float(np.median([keep[b].frequency_mhz for b in buoy_ids]))
+        for p in range(len(i_idx)):
+            bi, bj = buoy_ids[int(i_idx[p])], buoy_ids[int(j_idx[p])]
+            tau_s = float(lags[p]) / fs  # lag>0 ⇒ bi heard later (gcc_phat sign)
+            # PSR grades the correlation peak; detection confidences gate
+            # the pair as in `tdoa_processor.py:179-198`.
+            quality = 0.1 + 0.9 * float(
+                np.clip((psr[p] - self.psr_floor) / self.psr_scale, 0.0, 1.0)
+            )
+            conf = min(keep[bi].confidence, keep[bj].confidence) * quality
+            out.append(
+                TDoAMeasurement(
+                    buoy1_id=bj,
+                    buoy2_id=bi,  # time_difference = t(buoy2) − t(buoy1) = τ
+                    time_difference_ns=int(round(tau_s * 1e9)),
+                    distance_difference_m=tau_s * SPEED_OF_LIGHT_M_S,
+                    confidence=conf,
+                    frequency_mhz=freq,
+                )
+            )
         return out
 
     # -- solving ----------------------------------------------------------
@@ -220,7 +398,14 @@ class TDoAEngine:
             windowed = filter_time_window(group, self.correlation_window_s)
             if len({d.buoy_id for d in windowed}) < self.min_buoys:
                 continue
-            measurements = self.measurements_from_timestamps(windowed)
+            method = "hyperbolic-lm"
+            measurements: List[TDoAMeasurement] = []
+            if self.waveform_mode != "never":
+                measurements = self.measurements_from_waveforms(windowed)
+                if measurements:
+                    method = "gcc-phat+lm"
+            if not measurements and self.waveform_mode != "always":
+                measurements = self.measurements_from_timestamps(windowed)
             if len(measurements) < 2:
                 continue
             solved = self._solve_group(measurements)
@@ -240,7 +425,7 @@ class TDoAEngine:
                 timestamp_utc=utc_now_iso(),
                 contributing_buoys=sorted({d.buoy_id for d in windowed}),
                 tdoa_measurements=measurements,
-                method="hyperbolic-lm",
+                method=method,
             )
             results.append(result)
             if common_type == "emergency":

@@ -232,6 +232,7 @@ def default_scenario(
     emitter_lng: float = -97.51,
     signal: str = "noise",
     bandwidth_hz: float = 25_000.0,
+    freq_offset_hz: float = 0.0,
     snr_db: float = 20.0,
     block_len: int = 16_384,
     sample_rate_hz: float = 2_048_000.0,
@@ -239,7 +240,12 @@ def default_scenario(
     seed: int = 0,
     buoys: Optional[Sequence[Tuple[str, float, float, float]]] = None,
 ) -> Scenario:
-    """A ready-to-use OKC scenario mirroring the reference's test network."""
+    """A ready-to-use OKC scenario mirroring the reference's test network.
+
+    Note: the detector notches ±10 kHz around the tuned center
+    (`buoy_node.py:423` parity), so a narrowband emitter meant to be
+    *detected* (not just correlated) needs ``freq_offset_hz`` outside it.
+    """
     buoys = buoys if buoys is not None else OKC_BUOYS
     return Scenario(
         buoys=tuple(Buoy(bid, lat, lng, alt) for bid, lat, lng, alt in buoys),
@@ -249,6 +255,7 @@ def default_scenario(
                 lng=emitter_lng,
                 signal=signal,
                 bandwidth_hz=bandwidth_hz,
+                freq_offset_hz=freq_offset_hz,
             ),
         ),
         sample_rate_hz=sample_rate_hz,

@@ -22,20 +22,26 @@ def test_schedule_follows_wall_clock():
 
 
 def test_detect_block_produces_detections():
-    scen = sim.default_scenario(signal="tone", snr_db=30.0)
+    # Tone offset past the ±10 kHz DC notch so the *emitter* is what's
+    # detected (a DC tone is notched and only noise bins would remain).
+    scen = sim.default_scenario(signal="tone", snr_db=30.0, freq_offset_hz=250e3)
     node = simulated_buoy(scen, 0)
     iq = node.source.read(node.config.block_len)
     dets = node.detect_block(iq, scen.center_frequency_mhz * 1e6)
     assert len(dets) >= 1
     d = dets[0]
-    assert abs(d.frequency_mhz - scen.center_frequency_mhz) < 0.5
+    assert abs(d.frequency_mhz - (scen.center_frequency_mhz + 0.25)) < 0.01
     assert d.buoy_id == scen.buoys[0].buoy_id
     assert 0.3 <= d.confidence <= 1.0
     assert d.gps_timestamp_ns > 0
+    # Waveform-TDOA payload is attached by default.
+    assert d.iq_samples is not None and len(d.iq_samples) == 2048
+    assert d.iq_sample_rate_hz == scen.sample_rate_hz
+    assert d.iq_anchor_ns > 0
 
 
 def test_history_and_search():
-    scen = sim.default_scenario(signal="tone", snr_db=30.0)
+    scen = sim.default_scenario(signal="tone", snr_db=30.0, freq_offset_hz=250e3)
     node = simulated_buoy(scen, 0)
     iq = node.source.read(node.config.block_len)
     dets = node.detect_block(iq, 121.5e6)
@@ -66,7 +72,7 @@ async def _buoy_live():
 
     central = CentralProcessor(host="127.0.0.1", ws_port=18981, http_port=18982)
     await central.start()
-    scen = sim.default_scenario(signal="tone", snr_db=30.0)
+    scen = sim.default_scenario(signal="tone", snr_db=30.0, freq_offset_hz=250e3)
     node = simulated_buoy(
         scen, 0,
         BuoyNodeConfig(central_ws_url="ws://127.0.0.1:18981", scan_interval_s=0.2),

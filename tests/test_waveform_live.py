@@ -1,0 +1,264 @@
+"""Live waveform GCC-PHAT TDOA through the service plane.
+
+The capability gap VERDICT r1 flagged: the reference *documents* waveform
+cross-correlation as the fix for its timestamp-mode accuracy collapse
+(`/root/reference/Documents/TDOA_README.md:66-67` — 11,947 m error at
+100 µs clock error, :58) but never built it. These tests prove this
+framework's live path does:
+
+1. engine-level: detections carrying IQ snippets + 100 µs-class clock
+   errors → the waveform fix beats the timestamp fix by ≥10×;
+2. wire-level: the snippet survives the JSON round trip buoy → central;
+3. stack-level: 4 simulated BuoyNodes over REAL WebSockets with per-node
+   clock offsets produce a `gcc-phat+lm` fix at central.
+"""
+
+import asyncio
+import dataclasses
+import json
+import time
+
+import numpy as np
+import pytest
+
+from radio_mapper_tpu import geo, sim
+from radio_mapper_tpu.runtime.datamodel import (
+    BuoyPosition,
+    LiveSignalDetection,
+    NumpyJSONEncoder,
+    SignalDetection,
+    utc_now_iso,
+)
+from radio_mapper_tpu.runtime.tdoa_engine import TDoAEngine
+
+EMITTER = (35.47, -97.51)
+# Fixed per-buoy clock-reading errors at the reference's documented
+# failure scale (±100 µs class).
+CLOCK_OFFSETS_NS = (80_000, -120_000, 40_000, -60_000)
+
+
+def _position_error_m(result, emitter=EMITTER) -> float:
+    enu = geo.lat_lng_to_enu_np(
+        result.estimated_lat, result.estimated_lng, 0.0, emitter[0], emitter[1], 0.0
+    )
+    return float(np.linalg.norm(enu[:2]))
+
+
+def _detections_with_snippets(scen, cap, *, snippet=2048, with_iq=True):
+    """Detections as a buoy would emit them: jittered timestamps, and
+    (optionally) aligned IQ snippets from the shared PPS capture window."""
+    t0 = time.time_ns()
+    iso = utc_now_iso()
+    start = (scen.block_len - snippet) // 2
+    dets = []
+    for k, b in enumerate(scen.buoys):
+        arrival_ns = (
+            t0 + int(cap.geometric_delays_s[k, 0] * 1e9) + CLOCK_OFFSETS_NS[k]
+        )
+        dets.append(
+            SignalDetection(
+                buoy_id=b.buoy_id,
+                frequency_mhz=121.5,
+                signal_strength_dbm=-55.0,
+                timestamp_utc=iso,
+                gps_timestamp_ns=arrival_ns,
+                lat=b.lat,
+                lng=b.lng,
+                confidence=0.9,
+                signal_type="emergency",
+                iq_samples=(
+                    cap.iq[k, start : start + snippet].astype(np.complex64)
+                    if with_iq
+                    else None
+                ),
+                iq_sample_rate_hz=scen.sample_rate_hz if with_iq else 0.0,
+                iq_anchor_ns=t0 + CLOCK_OFFSETS_NS[k],
+            )
+        )
+    return dets
+
+
+def _engine_for(scen, **kwargs) -> TDoAEngine:
+    eng = TDoAEngine(**kwargs)
+    for b in scen.buoys:
+        eng.register_buoy(BuoyPosition(b.buoy_id, b.lat, b.lng, b.alt_m, 100_000))
+    return eng
+
+
+def test_waveform_beats_timestamps_10x_under_clock_error():
+    """The VERDICT r1 'Done' criterion: with 100 µs-class clock error the
+    waveform fix beats the timestamp fix by ≥10× (the reference collapses
+    to ~12 km here, `Documents/TDOA_README.md:58`)."""
+    scen = sim.default_scenario(
+        emitter_lat=EMITTER[0], emitter_lng=EMITTER[1], seed=3, snr_db=20.0
+    )
+    cap = sim.synthesize(scen)
+    dets = _detections_with_snippets(scen, cap)
+
+    wf = _engine_for(scen).process_signal_detections(dets)
+    assert len(wf) == 1 and wf[0].method == "gcc-phat+lm"
+    wf_err = _position_error_m(wf[0])
+
+    ts = _engine_for(scen, waveform_mode="never").process_signal_detections(dets)
+    assert len(ts) == 1 and ts[0].method == "hyperbolic-lm"
+    ts_err = _position_error_m(ts[0])
+
+    assert wf_err < 500.0, f"waveform fix error {wf_err:.1f} m"
+    assert ts_err > 10.0 * wf_err, (
+        f"timestamp mode {ts_err:.1f} m not ≥10× worse than waveform {wf_err:.1f} m"
+    )
+
+
+def test_waveform_mode_falls_back_without_snippets():
+    scen = sim.default_scenario(emitter_lat=EMITTER[0], emitter_lng=EMITTER[1], seed=3)
+    cap = sim.synthesize(scen)
+    dets = _detections_with_snippets(scen, cap, with_iq=False)
+    results = _engine_for(scen).process_signal_detections(dets)
+    assert len(results) == 1 and results[0].method == "hyperbolic-lm"
+    # "always" refuses to fall back.
+    assert _engine_for(scen, waveform_mode="always").process_signal_detections(dets) == []
+
+
+def test_waveform_anchor_clustering_rejects_other_dwells():
+    """A snippet from a different capture window must not be correlated."""
+    scen = sim.default_scenario(emitter_lat=EMITTER[0], emitter_lng=EMITTER[1], seed=3)
+    cap = sim.synthesize(scen)
+    dets = _detections_with_snippets(scen, cap)
+    # Push one buoy's anchor a full dwell away: it leaves the cluster, the
+    # remaining 3 still produce a waveform fix.
+    dets[1] = dataclasses.replace(dets[1], iq_anchor_ns=dets[1].iq_anchor_ns + int(2e9))
+    results = _engine_for(scen).process_signal_detections(dets)
+    assert len(results) == 1 and results[0].method == "gcc-phat+lm"
+    used = {m.buoy1_id for m in results[0].tdoa_measurements} | {
+        m.buoy2_id for m in results[0].tdoa_measurements
+    }
+    assert dets[1].buoy_id not in used
+
+
+def test_snippet_survives_wire_roundtrip():
+    """buoy JSON → central parse → engine measurement, bit-faithful IQ."""
+    scen = sim.default_scenario(emitter_lat=EMITTER[0], emitter_lng=EMITTER[1], seed=3)
+    cap = sim.synthesize(scen)
+    dets = _detections_with_snippets(scen, cap)
+    wire = [
+        json.loads(
+            json.dumps(
+                {"type": "signal_detection", "data": dataclasses.asdict(d)},
+                cls=NumpyJSONEncoder,
+            )
+        )
+        for d in dets
+    ]
+    live = [LiveSignalDetection.from_message(m["data"]) for m in wire]
+    for d, l in zip(dets, live):
+        assert l.iq_sample_rate_hz == d.iq_sample_rate_hz
+        assert l.iq_anchor_ns == d.iq_anchor_ns
+        np.testing.assert_allclose(
+            np.asarray(l.iq_samples, np.complex64), d.iq_samples, rtol=1e-6
+        )
+    # Reconstructed detections still solve in waveform mode.
+    back = [
+        dataclasses.replace(d, iq_samples=l.iq_samples) for d, l in zip(dets, live)
+    ]
+    results = _engine_for(scen).process_signal_detections(back)
+    assert len(results) == 1 and results[0].method == "gcc-phat+lm"
+    assert _position_error_m(results[0]) < 500.0
+
+
+# --------------------------------------------------------------- live stack
+
+
+def test_live_stack_waveform_fix():
+    asyncio.run(_live_stack_waveform_fix())
+
+
+async def _live_stack_waveform_fix():
+    """4 simulated buoys → real WebSockets → central solves `gcc-phat+lm`.
+
+    Mirrors the reference's integration pattern
+    (`tests/test_system_integration.py:116-160`) but with full BuoyNode
+    runtimes (PPS-aligned simulated SDRs, per-node clock offsets) instead
+    of hand-injected JSON.
+    """
+    from radio_mapper_tpu.runtime.buoy import BuoyNodeConfig, simulated_buoy
+    from radio_mapper_tpu.runtime.central import CentralProcessor
+
+    central = CentralProcessor(
+        host="127.0.0.1", ws_port=18731, http_port=18732, min_nodes=4
+    )
+    await central.start()
+    buoys = []
+    tasks = []
+    try:
+        scen = sim.default_scenario(
+            emitter_lat=EMITTER[0], emitter_lng=EMITTER[1], seed=5, snr_db=25.0
+        )
+        base = BuoyNodeConfig(
+            central_ws_url="ws://127.0.0.1:18731",
+            scan_interval_s=0.5,
+            heartbeat_interval_s=5.0,
+        )
+        for k in range(len(scen.buoys)):
+            b = simulated_buoy(scen, k, base, clock_offset_ns=CLOCK_OFFSETS_NS[k])
+            buoys.append(b)
+            tasks.append(asyncio.create_task(b.run()))
+
+        deadline = time.time() + 90.0
+        fix = None
+        while time.time() < deadline:
+            for s in central.triangulated_signals:
+                if s.triangulation_method == "gcc-phat+lm":
+                    fix = s
+                    break
+            if fix:
+                break
+            await asyncio.sleep(0.5)
+        assert fix is not None, "no gcc-phat+lm fix within deadline"
+
+        enu = geo.lat_lng_to_enu_np(
+            fix.estimated_lat, fix.estimated_lng, 0.0, EMITTER[0], EMITTER[1], 0.0
+        )
+        err_m = float(np.linalg.norm(enu[:2]))
+        # Buoy positions are dev-GPS-jittered (~11 m) and the emitter is
+        # inside an ~18 km array: sub-sample τ puts the fix well inside
+        # 1 km, vs the ~12 km the timestamp mode collapses to.
+        assert err_m < 1_000.0, f"live waveform fix error {err_m:.1f} m"
+
+        # Detection→fix latency metric is live (reference stretch target
+        # p95 < 5 s, `Documents/TDOA_README.md:112-115`).
+        lat = central.metrics.timer("fix_latency").snapshot()
+        assert lat["count"] >= 1
+        assert lat["p95_s"] < 5.0
+
+        # The same wire detections, timestamp-differenced, are ≥10× worse:
+        # the live comparison of the two modes.
+        ts_engine = TDoAEngine(min_buoys=4, waveform_mode="never")
+        for bid, pos in central.engine.buoy_positions.items():
+            ts_engine.register_buoy(pos)
+        dets = [
+            SignalDetection(
+                buoy_id=d.node_id,
+                frequency_mhz=d.frequency_mhz,
+                signal_strength_dbm=d.signal_strength_dbm,
+                timestamp_utc=d.timestamp_utc,
+                gps_timestamp_ns=d.gps_timestamp_ns,
+                lat=d.lat,
+                lng=d.lng,
+                confidence=d.confidence,
+                signal_type=d.signal_type,
+            )
+            for d in central.signal_buffer
+        ]
+        ts_results = ts_engine.process_signal_detections(dets)
+        if ts_results:
+            ts_err = min(_position_error_m(r) for r in ts_results)
+            assert ts_err > 10.0 * max(err_m, 1.0), (
+                f"timestamp mode {ts_err:.1f} m vs waveform {err_m:.1f} m"
+            )
+    finally:
+        for b in buoys:
+            b.stop()
+        for t in tasks:
+            t.cancel()
+        await asyncio.gather(*tasks, return_exceptions=True)
+        await central.stop()
