@@ -160,8 +160,10 @@ def run_pipeline_bench(
     if not results:
         raise RuntimeError(f"all bench paths failed: {last_err}")
     rate, name, step_s, flops = max(results)
-    if flops <= 0.0:
-        flops = _analytic_step_flops(num_channels, num_buoys, block_len, max_lag)
+    # XLA's cost_analysis under-reports on some AOT backends (observed:
+    # 1.15 GF for a ~40 GF program on the remote TPU path); trust whichever
+    # count is larger — the analytic count is a dominant-terms lower bound.
+    flops = max(flops, _analytic_step_flops(num_channels, num_buoys, block_len, max_lag))
     return rate, name, step_s, flops
 
 

@@ -18,6 +18,7 @@ from __future__ import annotations
 
 import argparse
 import asyncio
+import dataclasses
 import logging
 import sys
 
@@ -75,6 +76,10 @@ def cmd_buoy(args):
         scen = sim.default_scenario(signal="noise", bandwidth_hz=50e3)
         idx = args.sim_index % len(scen.buoys)
         node = simulated_buoy(scen, idx, cfg)
+        # An explicit --id wins over the scenario's buoy name (the
+        # scenario still provides position/physics for this node).
+        if args.id != "buoy-001":
+            node.config = dataclasses.replace(node.config, buoy_id=args.id)
     elif args.source == "file":
         from radio_mapper_tpu.ingest import FileSource
 
@@ -316,6 +321,88 @@ def _demod_audio(iq, mode, sample_rate, audio_rate):
         demod_ops.lsb_demod(iq, sample_rate_hz=sample_rate), factor)
 
 
+def _cmd_demod_watch(args, source, freqs_mhz):
+    """Simultaneous multi-frequency watch: one wideband capture, all watch
+    channels mixed/decimated/demodulated in a single batched jit per block,
+    per-channel squelch gating, per-channel streaming WAV sinks.
+
+    The TPU-shaped replacement for rtl_fm's retune-and-hop scanner
+    (`rtl_fm.c:939-974`): no tuner hops, no settle/flush dead time, no
+    missed activity on unwatched frequencies.
+    """
+    import functools
+    import wave
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from radio_mapper_tpu.ops import demod as demod_ops
+
+    center_hz = float(np.mean(freqs_mhz)) * 1e6
+    # The capture rate is whatever the source actually delivers (a sim
+    # source runs at its scenario's rate regardless of --sample-rate).
+    fs = float(getattr(source, "sample_rate_hz", args.sample_rate))
+    span_hz = (max(freqs_mhz) - min(freqs_mhz)) * 1e6
+    if span_hz > fs:
+        source.close()
+        raise SystemExit(
+            f"demod --watch: {span_hz/1e6:.3f} MHz span exceeds the "
+            f"{fs/1e6:.3f} MS/s capture"
+        )
+    source.tune(center_hz)
+    offsets = tuple(f * 1e6 - center_hz for f in freqs_mhz)
+
+    factor = max(1, int(round(fs / args.channel_rate)))
+    audio_factor = max(1, int(round(args.channel_rate / args.audio_rate)))
+    block = max(1, int(args.dwell * fs))
+    quantum = factor * audio_factor
+    block = max(quantum, block - block % quantum)
+    step = jax.jit(
+        functools.partial(
+            demod_ops.watch_demod_block,
+            sample_rate_hz=fs,
+            offsets_hz=offsets,
+            mode=args.mode,
+            channel_rate_hz=fs / factor,
+            audio_rate_hz=fs / factor / audio_factor,
+            squelch_threshold=args.squelch,
+        )
+    )
+    # Deterministic streaming gain (per-block peak normalization would
+    # pump): FM discriminator output is ±π; envelope modes ~unit scale.
+    scale = 32000.0 / np.pi if args.mode in ("wbfm", "nbfm") else 16000.0
+
+    sinks = []
+    for f in freqs_mhz:
+        w = wave.open(f"{args.output}.{f:.4f}MHz.wav", "wb")
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(int(fs / factor / audio_factor))
+        sinks.append(w)
+    counts = [0] * len(freqs_mhz)
+    total = int(args.seconds * fs)
+    consumed = 0
+    try:
+        while consumed < total:
+            iq = source.read(block)
+            consumed += block
+            audio, open_ = step(jnp.asarray(iq))
+            audio = np.asarray(audio)
+            open_np = np.asarray(open_)
+            for k in range(len(freqs_mhz)):
+                if open_np[k]:
+                    counts[k] += 1
+                    pcm = np.clip(audio[k] * scale, -32767, 32767).astype(np.int16)
+                    sinks[k].writeframes(pcm.tobytes())
+    finally:
+        source.close()
+        for w in sinks:
+            w.close()
+    for f, c in zip(freqs_mhz, counts):
+        print(f"# {f:.4f} MHz: {c} open block(s) -> {args.output}.{f:.4f}MHz.wav")
+
+
 def cmd_demod(args):
     """rtl_fm-style demodulator: source → audio PCM (s16le) to a file."""
     import numpy as np
@@ -346,6 +433,12 @@ def cmd_demod(args):
         source = RtlSdrProcessSource(
             sample_rate_hz=args.sample_rate, center_frequency_hz=args.frequency * 1e6
         )
+    if args.watch:
+        if args.mode == "raw":
+            source.close()
+            raise SystemExit("demod: --watch needs a demod mode, not raw")
+        _cmd_demod_watch(args, source, freqs_mhz)
+        return
     if len(freqs_mhz) > 1:
         # rtl_fm scanning mode: with multiple -f frequencies, squelch is
         # mandatory and a closed squelch hops to the next frequency
@@ -663,6 +756,13 @@ def build_parser() -> argparse.ArgumentParser:
     s.add_argument("--audio-rate", type=float, default=32_000.0)
     s.add_argument("--seconds", type=float, default=2.0)
     s.add_argument("--output", default="audio.s16le")
+    s.add_argument(
+        "--watch", action="store_true",
+        help="demodulate ALL --frequency channels simultaneously from one "
+             "wideband capture (batched; replaces hop scanning) and write "
+             "per-channel WAV files <output>.<MHz>.wav")
+    s.add_argument("--channel-rate", type=float, default=256_000.0,
+                   help="--watch per-channel rate before audio decimation")
     s.set_defaults(fn=cmd_demod)
 
     s = sub.add_parser("adsb", help="Mode-S/ADS-B decoder (rtl_adsb parity)")

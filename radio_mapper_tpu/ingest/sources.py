@@ -116,11 +116,21 @@ class SimulatedSource(IQSource):
             ) % n
         out = np.empty(num_samples, np.complex64)
         pos = 0
+        start = self._offset
         while pos < num_samples:
             take = min(num_samples - pos, n - self._offset)
             out[pos : pos + take] = self._cache[self._offset : self._offset + take]
             pos += take
             self._offset = (self._offset + take) % n
+        # Tuning offset within the channel: a real SDR tuned off the
+        # emitter's center sees the signal shifted in baseband; mix by the
+        # offset with sample-index phase (continuous across reads).
+        df = self.scenario.center_frequency_mhz * 1e6 - self.center_frequency_hz
+        if df != 0.0 and self._cache_key and self._cache_key[0]:
+            idx = start + np.arange(num_samples)
+            out = out * np.exp(2j * np.pi * df * idx / self.sample_rate_hz).astype(
+                np.complex64
+            )
         return out
 
     def window_anchor_ns(self) -> int:

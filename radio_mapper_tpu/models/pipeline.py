@@ -180,12 +180,17 @@ class TDOAPipeline:
         """
         c = self.config
         n = re.shape[-1]
-        spectra = sc_ops.receiver_spectra_split(re, im, max_lag=c.max_lag)
-        fr, fi, nfft = spectra
-        if nfft == 2 * n:
+        use_fused = sc_ops.gcc_fused_enabled(n + c.max_lag, c.weighting)
+        spectra = (
+            None
+            if use_fused
+            else sc_ops.receiver_spectra_split(re, im, max_lag=c.max_lag)
+        )
+        if spectra is not None and spectra[2] == 2 * n:
             # Zero-padding to exactly 2N makes the padded transform's even
             # bins equal the plain N-point FFT bit-for-bit — the detector's
             # spectrum is a strided view of the correlation FFTs, free.
+            fr, fi, _ = spectra
             power_db = (
                 10.0 * jnp.log10(fr[..., ::2] ** 2 + fi[..., ::2] ** 2 + 1e-24)
                 + c.power_offset_db
@@ -198,14 +203,25 @@ class TDOAPipeline:
             max_peaks=c.max_peaks,
             threshold_db=c.detection_threshold_db,
         )
-        corr_sc = sc_ops.gcc_phat_all_pairs_split(
-            re, im,
-            sample_rate_hz=c.sample_rate_hz,
-            max_lag=c.max_lag,
-            weighting=c.weighting,
-            eps=c.gcc_eps,
-            spectra=spectra,
-        )
+        if use_fused:
+            # Whole pair stage (whiten × iFFT × lag slice) fused in VMEM —
+            # the CT-order forward never materializes a bin transpose.
+            corr_sc = sc_ops.gcc_phat_all_pairs_split_fused(
+                re, im,
+                sample_rate_hz=c.sample_rate_hz,
+                max_lag=c.max_lag,
+                weighting=c.weighting,
+                eps=c.gcc_eps,
+            )
+        else:
+            corr_sc = sc_ops.gcc_phat_all_pairs_split(
+                re, im,
+                sample_rate_hz=c.sample_rate_hz,
+                max_lag=c.max_lag,
+                weighting=c.weighting,
+                eps=c.gcc_eps,
+                spectra=spectra,
+            )
         corr = gcc_ops.CorrelationPeak(
             lag_samples=corr_sc.lag_samples,
             tau_s=corr_sc.tau_s,

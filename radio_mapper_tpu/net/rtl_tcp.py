@@ -203,15 +203,42 @@ class RtlTcpServer:
         self.tuner_type = tuner_type
         self.throttle = throttle
         self._server: Optional[asyncio.AbstractServer] = None
-        self.state = {"gain_mode": 0, "gain": 0, "agc": 0, "ppm": 0, "test_mode": 0}
+        self.state = {
+            "gain_mode": 0, "gain": 0, "agc": 0, "ppm": 0, "test_mode": 0,
+            # `librtlsdr.c:1135-1258` mode state
+            "direct_sampling": 0, "offset_tuning": 0, "offs_freq_hz": 0,
+            "if_gain": {},  # stage -> tenth-dB (rtl_tcp.c:325-329)
+            "rtl_xtal_hz": 28_800_000, "tuner_xtal_hz": 28_800_000,
+            "freq_hz": 0.0,
+        }
         self._test_counter = 0  # continuous 8-bit counter across chunks
+
+    def _apply_tune(self):
+        """Route the stored frequency through the current mode, mirroring
+        `rtlsdr_set_center_freq` (`librtlsdr.c:888-909`): direct sampling
+        tunes the 2832's digital IF (quantized, `librtlsdr.c:704`);
+        otherwise the tuner LO is set to freq − offs_freq and the IF stage
+        shifts it back — net content unchanged, DC spur displaced."""
+        from radio_mapper_tpu.net import tuner_plan
+
+        freq = self.state["freq_hz"]
+        if not freq:
+            return
+        if self.state["direct_sampling"]:
+            eff = tuner_plan.plan_if_freq(freq, xtal_hz=self.state["rtl_xtal_hz"])
+            self.source.tune(float(eff))
+        else:
+            # offset tuning's LO shift is compensated digitally; the
+            # source (which models content, not spurs) tunes to center.
+            self.source.tune(float(freq))
 
     async def _handle_commands(self, reader: asyncio.StreamReader):
         while True:
             buf = await reader.readexactly(5)
             cmd, param = unpack_command(buf)
             if cmd == CMD_SET_FREQ:
-                self.source.tune(float(param))
+                self.state["freq_hz"] = float(param)
+                self._apply_tune()
                 logger.info("rtl_tcp: set freq %.6f MHz", param / 1e6)
             elif cmd == CMD_SET_SAMPLE_RATE:
                 self.source.sample_rate_hz = float(param)
@@ -231,15 +258,67 @@ class RtlTcpServer:
                 self.state["test_mode"] = param
                 self._test_counter = 0
                 logger.info("rtl_tcp: test mode %s", "on" if param else "off")
-            elif cmd in (
-                CMD_SET_IF_GAIN,
-                CMD_SET_DIRECT_SAMPLING,
-                CMD_SET_OFFSET_TUNING,
-                CMD_SET_RTL_XTAL,
-                CMD_SET_TUNER_XTAL,
-                CMD_SET_GAIN_BY_INDEX,
-            ):
-                logger.debug("rtl_tcp: cmd 0x%02x param %d (acknowledged)", cmd, param)
+            elif cmd == CMD_SET_IF_GAIN:
+                # param packs (stage << 16) | int16 gain in tenth-dB
+                # (`rtl_tcp.c:325-329` → `rtlsdr_set_tuner_if_gain`).
+                stage = (param >> 16) & 0xFFFF
+                gain = param & 0xFFFF
+                if gain >= 0x8000:
+                    gain -= 0x10000
+                self.state["if_gain"][stage] = gain
+                logger.info("rtl_tcp: IF gain stage %d = %.1f dB", stage, gain / 10)
+            elif cmd == CMD_SET_DIRECT_SAMPLING:
+                # `rtlsdr_set_direct_sampling` (`librtlsdr.c:1145-1240`):
+                # tuner bypassed, ADC pin I (1) or Q (2) sampled directly;
+                # tuning becomes a digital-IF setting. Retune to apply.
+                self.state["direct_sampling"] = int(param)
+                setter = getattr(self.source, "set_direct_sampling", None)
+                if setter is not None:
+                    setter(int(param))
+                self._apply_tune()
+                logger.info("rtl_tcp: direct sampling mode %d", param)
+            elif cmd == CMD_SET_OFFSET_TUNING:
+                # `rtlsdr_set_offset_tuning` (`librtlsdr.c:1222-1249`):
+                # zero-IF tuners only (returns -2 on R82xx — those use a
+                # real IF already); not available in direct mode (-3).
+                if self.tuner_type in (TUNER_R820T, TUNER_R828D):
+                    logger.warning("rtl_tcp: offset tuning rejected (R82xx)")
+                elif self.state["direct_sampling"]:
+                    logger.warning("rtl_tcp: offset tuning rejected (direct mode)")
+                else:
+                    from radio_mapper_tpu.net import tuner_plan
+
+                    on = int(bool(param))
+                    self.state["offset_tuning"] = on
+                    self.state["offs_freq_hz"] = (
+                        tuner_plan.offset_tuning_offs_hz(self.source.sample_rate_hz)
+                        if on else 0
+                    )
+                    self._apply_tune()
+                    logger.info(
+                        "rtl_tcp: offset tuning %s (offs %d Hz)",
+                        "on" if on else "off", self.state["offs_freq_hz"],
+                    )
+            elif cmd == CMD_SET_RTL_XTAL:
+                self.state["rtl_xtal_hz"] = int(param)
+            elif cmd == CMD_SET_TUNER_XTAL:
+                self.state["tuner_xtal_hz"] = int(param)
+            elif cmd == CMD_SET_GAIN_BY_INDEX:
+                # `rtl_tcp.c:354-358`: index into the tuner's gain table.
+                from radio_mapper_tpu.net.tuner_plan import TUNER_GAINS
+
+                names = {
+                    TUNER_E4000: "e4000", TUNER_FC0012: "fc0012",
+                    TUNER_FC0013: "fc0013", TUNER_FC2580: "fc2580",
+                    TUNER_R820T: "r820t", TUNER_R828D: "r828d",
+                }
+                gains = TUNER_GAINS.get(names.get(self.tuner_type, ""), ())
+                if gains and param < len(gains):
+                    self.state["gain"] = gains[param]
+                    logger.info("rtl_tcp: gain index %d → %.1f dB", param,
+                                self.state["gain"] / 10)
+                else:
+                    logger.warning("rtl_tcp: gain index %d out of range", param)
             else:
                 logger.warning("rtl_tcp: unknown command 0x%02x", cmd)
 

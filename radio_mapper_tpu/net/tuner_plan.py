@@ -215,6 +215,140 @@ def plan_e4k_pll(
     )
 
 
+# --- FC0012 / FC0013 sigma-delta PLL (`tuner_fc0012.c:150-255`,
+# ---                                  `tuner_fc0013.c:194-352`) -------------
+
+# (upper bound Hz, VCO multiplier) — `tuner_fc0012.c:160-200`
+FC0012_BANDS: Tuple[Tuple[int, int], ...] = (
+    (37_084_000, 96), (55_625_000, 64), (74_167_000, 48),
+    (111_250_000, 32), (148_334_000, 24), (222_500_000, 16),
+    (296_667_000, 12), (445_000_000, 8), (593_334_000, 6),
+)
+# FC0013 extends the table down to ÷2 (`tuner_fc0013.c:259-305`)
+FC0013_BANDS: Tuple[Tuple[int, int], ...] = FC0012_BANDS + ((950_000_000, 4),)
+
+
+def _plan_fc001x_pll(
+    freq_hz: float, bands, last_multi: int, *, xtal_hz: float, ppm: float, chip: str
+) -> PllPlan:
+    """Shared FC0012/FC0013 plan: count-to-8/9 main divider + 16-bit
+    sigma-delta fraction with kHz-granular computation
+    (`tuner_fc0012.c:203-245`). Achieved LO =
+    (xtal/2)·(⌊xdiv⌋ + xin/32768)/multi — the kHz truncation in the C
+    code's xin math is the dominant quantization (~sub-kHz at VCO)."""
+    freq = int(freq_hz)
+    xtal_div2 = int(apply_ppm(xtal_hz, ppm)) // 2
+    for upper, multi in bands:
+        if freq < upper:
+            break
+    else:
+        multi = last_multi
+    f_vco = freq * multi
+
+    xdiv = f_vco // xtal_div2
+    if (f_vco - xdiv * xtal_div2) >= (xtal_div2 // 2):
+        xdiv += 1
+    pm, am = xdiv // 8, xdiv % 8
+    if am < 2:
+        am += 8
+        pm -= 1
+    if pm > 31:
+        reg1, reg2 = am + 8 * (pm - 31), 31
+    else:
+        reg1, reg2 = am, pm
+    if reg1 > 15 or reg2 < 0x0B:
+        raise PlanError(
+            f"no valid {chip.upper()} PLL combination for {freq} Hz "
+            "(tuner_fc0012.c:231-235)"
+        )
+
+    # Fractional part in kHz resolution, 15-bit scale, sign-wrapped when
+    # xdiv was rounded up (`tuner_fc0012.c:241-245`).
+    floor_xdiv = f_vco // xtal_div2
+    xin = ((f_vco - floor_xdiv * xtal_div2) // 1000) << 15
+    xin //= xtal_div2 // 1000
+    xin_stored = xin + 32768 if xin >= 16384 else xin
+    # Effective divider = floor + xin/32768 regardless of the wrap (the
+    # wrap encodes the same fraction relative to the rounded xdiv).
+    actual_vco = xtal_div2 * floor_xdiv + (xtal_div2 * xin) // 32768
+    actual = actual_vco / multi
+    return PllPlan(
+        requested_hz=freq, actual_hz=actual,
+        params={"multi": multi, "xdiv": xdiv, "pm": pm, "am": am,
+                "reg1": reg1, "reg2": reg2, "xin": xin_stored,
+                "vco_select": int(f_vco >= 3_060_000_000),
+                "xtal_div2": xtal_div2},
+    )
+
+
+def plan_fc0012_pll(freq_hz: float, *, xtal_hz: float = DEFAULT_RTL_XTAL_HZ,
+                    ppm: float = 0.0) -> PllPlan:
+    return _plan_fc001x_pll(freq_hz, FC0012_BANDS, 4,
+                            xtal_hz=xtal_hz, ppm=ppm, chip="fc0012")
+
+
+def plan_fc0013_pll(freq_hz: float, *, xtal_hz: float = DEFAULT_RTL_XTAL_HZ,
+                    ppm: float = 0.0) -> PllPlan:
+    return _plan_fc001x_pll(freq_hz, FC0013_BANDS, 2,
+                            xtal_hz=xtal_hz, ppm=ppm, chip="fc0013")
+
+
+# --- FC2580 fractional-N PLL (`tuner_fc2580.c:195-230`) ---------------------
+
+
+def plan_fc2580_pll(freq_hz: float, *, xtal_hz: float = DEFAULT_RTL_XTAL_HZ,
+                    ppm: float = 0.0) -> PllPlan:
+    """FC2580 LO plan (kHz-domain math like the C code): band multiplier
+    (VHF ×12 / UHF ×4 / L ×2), reference divider R ∈ {1,2,4}, 20-bit
+    fractional K. Achieved LO = 2·f_comp·(N + K/2^20)/multi."""
+    f_lo = int(freq_hz) // 1000  # the C API works in kHz
+    freq_xtal = int(apply_ppm(xtal_hz, ppm)) // 1000
+    if f_lo > 1_000_000:
+        band, multi = "l", 2
+    elif f_lo > 400_000:
+        band, multi = "uhf", 4
+    else:
+        band, multi = "vhf", 12
+    f_vco = f_lo * multi
+    r_val = 1 if f_vco >= 2 * 76 * freq_xtal else (2 if f_vco >= 76 * freq_xtal else 4)
+    f_comp = freq_xtal // r_val
+    n_val = (f_vco // 2) // f_comp
+    f_diff = f_vco - 2 * f_comp * n_val
+    pre_shift = 4
+    f_diff_shifted = f_diff << (20 - pre_shift)
+    k_val = f_diff_shifted // ((2 * f_comp) >> pre_shift)
+    if f_diff_shifted - k_val * ((2 * f_comp) >> pre_shift) >= (f_comp >> pre_shift):
+        k_val += 1
+    actual_khz = 2 * f_comp * (n_val + k_val / (1 << 20)) / multi
+    return PllPlan(
+        requested_hz=int(freq_hz), actual_hz=actual_khz * 1000.0,
+        params={"band": {"vhf": 0, "uhf": 1, "l": 2}[band], "multi": multi,
+                "r_val": r_val, "f_comp": f_comp, "n_val": n_val,
+                "k_val": k_val},
+    )
+
+
+# --- RTL2832U IF down-converter + offset tuning (`librtlsdr.c:690-714,
+# --- 1135-1258`) -------------------------------------------------------------
+
+
+def plan_if_freq(if_hz: float, *, xtal_hz: float = DEFAULT_RTL_XTAL_HZ,
+                 ppm: float = 0.0) -> float:
+    """Achieved RTL2832U digital IF: the 22-bit ratio register quantizes
+    the requested IF (`rtlsdr_set_if_freq`, `librtlsdr.c:704`). Used for
+    direct-sampling tuning and offset-tuning compensation."""
+    xtal = apply_ppm(xtal_hz, ppm)
+    reg = int((int(if_hz) * TWO_POW_22) // int(xtal))  # truncating, as the C does
+    return reg * xtal / TWO_POW_22
+
+
+def offset_tuning_offs_hz(rate_hz: float) -> int:
+    """Offset-tuning LO shift: (rate/2)·1.7 (`librtlsdr.c:1237`, keenerd's
+    1/f-noise measurement) — moves the zero-IF DC spur out of band for
+    non-R82xx tuners; the 2832's IF stage shifts it back digitally."""
+    return (int(rate_hz) // 2) * 170 // 100
+
+
 # --- Gain tables + quantization (`librtlsdr.c:960-1010`) --------------------
 
 # tenths of a dB, per `rtlsdr_get_tuner_gains` (`librtlsdr.c:963-974`)
@@ -292,10 +426,14 @@ def plan_capture(
                             vco_power_ref=1 if t == "r828d" else 2)
     elif t == "e4000":
         lo = plan_e4k_pll(freq_hz, fosc_hz=xtal_hz, ppm=ppm)
+    elif t == "fc0012":
+        lo = plan_fc0012_pll(freq_hz, xtal_hz=xtal_hz, ppm=ppm)
+    elif t == "fc0013":
+        lo = plan_fc0013_pll(freq_hz, xtal_hz=xtal_hz, ppm=ppm)
+    elif t == "fc2580":
+        lo = plan_fc2580_pll(freq_hz, xtal_hz=xtal_hz, ppm=ppm)
     else:
-        # FC-series PLL math not modeled; assume exact LO.
-        lo = PllPlan(requested_hz=int(freq_hz), actual_hz=float(freq_hz),
-                     params={})
+        raise PlanError(f"unknown tuner {tuner!r}")
     return CapturePlan(
         sample_rate=rate, lo=lo,
         gain_tenth_db=nearest_gain(gain_tenth_db, t), tuner=t,

@@ -157,6 +157,34 @@ def peak_to_sidelobe(m: jnp.ndarray, k: jnp.ndarray, *, exclude: int = 8) -> jnp
     return peak / (jnp.maximum(side_max, 0.0) + 1e-12)
 
 
+def peaks_from_lag_mags(
+    m: jnp.ndarray,
+    *,
+    sample_rate_hz: float,
+    max_lag: int,
+    psr_exclude: int = 8,
+) -> CorrelationPeak:
+    """Peak pick from a ``[..., 2·max_lag+1]`` correlation-magnitude window.
+
+    Shared tail of every GCC path (complex, split-complex, fused Pallas):
+    integer argmax → parabolic sub-sample refine → PSR quality.
+    """
+    k = safe.argmax_last(m) if safe.enabled() else jnp.argmax(m, axis=-1)
+    delta = parabolic_refine(m, k)
+    lag = k.astype(jnp.float32) - jnp.float32(max_lag) + delta
+    peak = (
+        safe.take1_last(m, k)
+        if safe.enabled()
+        else jnp.take_along_axis(m, k[..., None], axis=-1)[..., 0]
+    )
+    return CorrelationPeak(
+        lag_samples=lag,
+        tau_s=lag / jnp.float32(sample_rate_hz),
+        peak_value=peak,
+        psr=peak_to_sidelobe(m, k, exclude=psr_exclude),
+    )
+
+
 def gcc_phat(
     x: jnp.ndarray,
     y: jnp.ndarray,

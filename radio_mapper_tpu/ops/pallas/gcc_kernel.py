@@ -1,0 +1,265 @@
+"""Fused GCC pair stage: whiten × inverse-FFT × lag-slice in one kernel.
+
+The XLA formulation of all-pairs GCC-PHAT stages every intermediate
+through HBM: gathered pair spectra ([..., P, nfft] complex — a B→P
+blow-up), the whitened cross-power, and the full-length correlation, of
+which only ±max_lag samples are ever read
+(`/root/reference/tdoa_processor.py:156-193` walks the same pairs in
+Python). This kernel keeps the whole pair stage inside VMEM: per grid
+cell it loads ONE channel's B receiver spectra (CT bin order, from
+:func:`fft_kernel.fft_rows_ct`), forms a static chunk of pair
+cross-spectra by register gather, whitens, runs the four-step inverse DFT
+as two MXU matmuls batched over the chunk, and writes only the lag-window
+magnitudes. HBM traffic per pair drops from ~5 full-length complex arrays
+to (amortized) one spectrum read + a ~1 KB window write.
+
+Bin order: inputs are CT-order spectra (m = k2·n1 + k1 holding bin
+k = k2 + n2·k1). PHAT/CC weighting is permutation-invariant, and the
+inverse kernel consumes CT order directly and emits natural TIME order —
+so no transpose ever materializes, which is what lets the flagship GCC
+length (n1=128, any n2) fuse at all (see fft_kernel module note).
+
+Lag convention matches :func:`radio_mapper_tpu.ops.gcc_phat.cross_correlate`:
+window rows are [corr[nfft−L:], corr[:L+1]], lag −L..+L, lag > 0 ⇒ x (the
+pair's first/receiver-i signal) delayed vs y.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from radio_mapper_tpu.ops.pallas import fft_kernel
+
+# Pairs processed per grid cell: bounds the chunk workspace to ~1 MB of
+# VMEM per complex plane at the flagship nfft while keeping the inverse
+# matmuls MXU-sized ([chunk·n2, n1] ≥ [1056, 128]).
+DEFAULT_PAIR_CHUNK = 8
+
+WEIGHTINGS = ("phat", "cc")
+
+
+def supported(nfft: int, weighting: str = "phat") -> bool:
+    """Whether the fused pair stage can run for this length/weighting."""
+    return weighting in WEIGHTINGS and fft_kernel.ct_supported(nfft)
+
+
+def plan_nfft(min_len: int) -> int:
+    """Smallest fused-kernel-compatible FFT length ≥ ``min_len``.
+
+    Multiples of 1024 guarantee a fully tile-aligned split (n1 multiple
+    of 128 lanes AND n2 multiple of 8 sublanes) — ≤ 1023 samples of
+    padding, and measured far faster to compile/run on-chip than
+    lane-only-aligned lengths.
+    """
+    n = -(-min_len // 1024) * 1024
+    while not fft_kernel.ct_supported(n):  # pragma: no cover — n2 > 1024
+        n += 1024
+    return n
+
+
+def _gcc_pairs_kernel(
+    sre_ref, sim_ref,
+    w1re_ref, w1im_ref, w2re_ref, w2im_ref, twre_ref, twim_ref,
+    oneg_ref, opos_ref,
+    *,
+    pairs: Tuple[Tuple[int, int], ...],
+    n1: int,
+    n2: int,
+    nneg: int,
+    npos: int,
+    eps: float,
+    whiten: bool,
+):
+    """One grid cell = one channel × one static pair chunk.
+
+    All values stay rank-2/3 with the lane dim a multiple of n1 and no
+    unit leading dims — Mosaic's layout inference aborts on rank-1
+    vectors and leading-1 reshapes (observed on-chip: `inferReshape`
+    check failure), so rows are sliced keepdim and outputs are 2-D.
+    """
+    m = len(pairs)
+    dot = functools.partial(
+        jax.lax.dot_general,
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    dn = (((1,), (0,)), ((), ()))
+    n = n1 * n2
+
+    a_re = sre_ref[:]  # [B, nfft] CT-order spectra
+    a_im = sim_ref[:]
+
+    # Static register gather (keepdim slices → 2-D concat, not stack):
+    # cross-power R = X_i · conj(Y_j) per pair, [m, nfft].
+    row = lambda a, k: a[k : k + 1, :]
+    rre = jnp.concatenate(
+        [
+            row(a_re, i) * row(a_re, j) + row(a_im, i) * row(a_im, j)
+            for i, j in pairs
+        ],
+        axis=0,
+    )
+    rim = jnp.concatenate(
+        [
+            row(a_im, i) * row(a_re, j) - row(a_re, i) * row(a_im, j)
+            for i, j in pairs
+        ],
+        axis=0,
+    )
+
+    if whiten:
+        mag = jnp.sqrt(rre * rre + rim * rim)
+        scale = jnp.max(mag, axis=-1, keepdims=True)  # per-pair gate
+        denom = mag + eps * scale + 1e-30
+        rre = rre / denom
+        rim = rim / denom
+
+    # Inner inverse DFT over k1 (minor): [m, nfft] → [m·n2, n1] rows.
+    rre = rre.reshape(m * n2, n1)
+    rim = rim.reshape(m * n2, n1)
+    w1re, w1im = w1re_ref[:], w1im_ref[:]
+    ere = dot(rre, w1re, dn) - dot(rim, w1im, dn)
+    eim = dot(rre, w1im, dn) + dot(rim, w1re, dn)
+
+    # Inverse twiddle W_n^{+p·k2}, tiled over the chunk.
+    twre = jnp.concatenate([twre_ref[:]] * m, axis=0)
+    twim = jnp.concatenate([twim_ref[:]] * m, axis=0)
+    cre = ere * twre - eim * twim
+    cim = ere * twim + eim * twre
+
+    # Outer inverse DFT over k2: z[q, m·p] = Σ_{k2} W2c[q, k2]·C[k2, m·p].
+    regroup = lambda c: jnp.transpose(
+        c.reshape(m, n2, n1), (1, 0, 2)
+    ).reshape(n2, m * n1)
+    cre, cim = regroup(cre), regroup(cim)
+    w2re, w2im = w2re_ref[:], w2im_ref[:]
+    zre = dot(w2re, cre, dn) - dot(w2im, cim, dn)
+    zim = dot(w2re, cim, dn) + dot(w2im, cre, dn)
+
+    # Back to [m, n2(q), n1(p)]; time index t = q·n1 + p. |z|/N.
+    unpack = lambda z: jnp.transpose(z.reshape(n2, m, n1), (1, 0, 2))
+    zre, zim = unpack(zre), unpack(zim)
+    magz = jnp.sqrt(zre * zre + zim * zim) * (1.0 / n)
+
+    # Lag windows: negative lags live at the tail rows, positives at the
+    # head rows — static row counts, 2-D outputs.
+    oneg_ref[:] = magz[:, n2 - nneg :, :].reshape(m, nneg * n1)
+    opos_ref[:] = magz[:, :npos, :].reshape(m, npos * n1)
+
+
+def _pair_chunks(
+    pair_i: np.ndarray, pair_j: np.ndarray, chunk: int
+) -> Sequence[Tuple[Tuple[Tuple[int, int], ...], int]]:
+    """Static pair chunks padded to a multiple of 8 rows (TPU sublane
+    tiling: block sublane dims must divide by 8). Returns
+    ``[(pairs_padded, real_count), ...]`` — padding repeats pair 0 and is
+    sliced off by the caller."""
+    pairs = [(int(i), int(j)) for i, j in zip(pair_i, pair_j)]
+    chunk = max(8, -(-chunk // 8) * 8)
+    out = []
+    for k in range(0, len(pairs), chunk):
+        part = pairs[k : k + chunk]
+        real = len(part)
+        pad = -(-real // 8) * 8 - real
+        out.append((tuple(part + [part[0]] * pad), real))
+    return out
+
+
+def gcc_pair_lag_mags(
+    spec_re: jnp.ndarray,
+    spec_im: jnp.ndarray,
+    pair_i: np.ndarray,
+    pair_j: np.ndarray,
+    *,
+    max_lag: int,
+    eps: float = 0.05,
+    weighting: str = "phat",
+    pair_chunk: int = DEFAULT_PAIR_CHUNK,
+    interpret: Optional[bool] = None,
+) -> jnp.ndarray:
+    """Correlation-magnitude lag windows for all pairs.
+
+    Args:
+      spec_re/spec_im: ``[..., B, nfft]`` CT-order spectra
+        (:func:`fft_kernel.fft_rows_ct` output).
+      pair_i/pair_j: static receiver index arrays, length P.
+    Returns:
+      ``[..., P, 2·max_lag+1]`` float32 |r| at lags −max_lag..+max_lag.
+    """
+    if weighting not in WEIGHTINGS:
+        raise ValueError(f"fused GCC supports {WEIGHTINGS}, not {weighting!r}")
+    nfft = spec_re.shape[-1]
+    b = spec_re.shape[-2]
+    n1, n2, w1re, w1im, w2re, w2im, twre, twim = fft_kernel.ct_constants(
+        nfft, inverse=True
+    )
+    if max_lag >= nfft // 2:
+        raise ValueError(f"max_lag {max_lag} too large for nfft {nfft}")
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+
+    nneg = -(-max_lag // n1)  # tail rows covering lags −nneg·n1 .. −1
+    npos = max_lag // n1 + 1  # head rows covering lags 0 .. npos·n1−1
+
+    batch_shape = spec_re.shape[:-2]
+    c = int(np.prod(batch_shape)) if batch_shape else 1
+    # Everything 2-D at the pallas boundary (Mosaic-friendliest layouts):
+    # spectra rows flattened to [c·b_pad, nfft], outputs to [c·m, window].
+    # Receiver rows pad to a multiple of 8 (sublane tiling requirement).
+    b_pad = -(-b // 8) * 8
+    sre = spec_re.reshape(c, b, nfft).astype(jnp.float32)
+    sim = spec_im.reshape(c, b, nfft).astype(jnp.float32)
+    if b_pad != b:
+        padw = ((0, 0), (0, b_pad - b), (0, 0))
+        sre = jnp.pad(sre, padw)
+        sim = jnp.pad(sim, padw)
+    sre = sre.reshape(c * b_pad, nfft)
+    sim = sim.reshape(c * b_pad, nfft)
+
+    spec_spec = pl.BlockSpec((b_pad, nfft), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    # Specs from STATIC numpy shapes (the values may be tracers under jit).
+    const_arrays = (w1re, w1im, w2re, w2im, twre, twim)
+    const_specs = [
+        pl.BlockSpec(a.shape, lambda i: (0, 0), memory_space=pltpu.VMEM)
+        for a in const_arrays
+    ]
+    consts = tuple(jnp.asarray(a) for a in const_arrays)
+
+    outs = []
+    for pairs, m_real in _pair_chunks(pair_i, pair_j, pair_chunk):
+        m = len(pairs)
+        kernel = functools.partial(
+            _gcc_pairs_kernel,
+            pairs=pairs, n1=n1, n2=n2, nneg=nneg, npos=npos,
+            eps=eps, whiten=(weighting == "phat"),
+        )
+        out_spec = lambda w: pl.BlockSpec(
+            (m, w), lambda i: (i, 0), memory_space=pltpu.VMEM
+        )
+        oneg, opos = pl.pallas_call(
+            kernel,
+            grid=(c,),
+            in_specs=[spec_spec, spec_spec] + const_specs,
+            out_specs=[out_spec(nneg * n1), out_spec(npos * n1)],
+            out_shape=[
+                jax.ShapeDtypeStruct((c * m, nneg * n1), jnp.float32),
+                jax.ShapeDtypeStruct((c * m, npos * n1), jnp.float32),
+            ],
+            interpret=interpret,
+        )(sre, sim, *consts)
+        # lags −max_lag..−1 from the tail of the neg rows; 0..max_lag from
+        # the head of the pos rows.
+        window = jnp.concatenate(
+            [oneg[..., nneg * n1 - max_lag :], opos[..., : max_lag + 1]],
+            axis=-1,
+        )
+        outs.append(window.reshape(c, m, 2 * max_lag + 1)[:, :m_real])
+    window = jnp.concatenate(outs, axis=-2)  # [c, P, 2L+1]
+    return window.reshape(*batch_shape, len(pair_i), 2 * max_lag + 1)

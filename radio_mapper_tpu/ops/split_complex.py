@@ -211,6 +211,77 @@ def gcc_phat_all_pairs_split(
     )
 
 
+# ---------------------------------------------------------------- fused GCC
+
+# "auto": fused Pallas pair stage on TPU when the shape/weighting allow;
+# "on": force (interpret mode off-TPU — for numerics tests); "off": never.
+_GCC_FUSED = "auto"
+
+
+def set_gcc_fused(mode: str) -> None:
+    if mode not in ("auto", "on", "off"):
+        raise ValueError(f"unknown fused-GCC mode {mode!r}")
+    global _GCC_FUSED
+    _GCC_FUSED = mode
+
+
+def gcc_fused_enabled(min_len: int, weighting: str) -> bool:
+    """Route the GCC pair stage to the fused Pallas kernel?"""
+    if _GCC_FUSED == "off":
+        return False
+    try:
+        from radio_mapper_tpu.ops.pallas import gcc_kernel
+    except ImportError:  # pragma: no cover
+        return False
+    if not gcc_kernel.supported(gcc_kernel.plan_nfft(min_len), weighting):
+        return False
+    return _GCC_FUSED == "on" or jax.default_backend() == "tpu"
+
+
+def gcc_phat_all_pairs_split_fused(
+    sig_re: jnp.ndarray,
+    sig_im: jnp.ndarray,
+    *,
+    sample_rate_hz: float,
+    max_lag: int,
+    weighting: str = "phat",
+    eps: float = 0.05,
+    psr_exclude: int = 8,
+) -> CorrelationPeakSC:
+    """All-pairs GCC with the whole pair stage fused in VMEM.
+
+    Numerically equivalent to :func:`gcc_phat_all_pairs_split` up to FFT
+    padding length (the fused planner pads to the next multiple of 128,
+    the matmul path to the next 5-smooth length; both are alias-free for
+    ±max_lag, so peaks match to sub-sample tolerance). Forward transforms
+    run once per receiver in CT bin order — no natural-order transpose
+    ever materializes (see ops.pallas.fft_kernel).
+    """
+    from radio_mapper_tpu.ops.pallas import fft_kernel, gcc_kernel
+
+    n = sig_re.shape[-1]
+    b = sig_re.shape[-2]
+    if max_lag >= n:
+        raise ValueError(f"max_lag {max_lag} must be < block length {n}")
+    nfft = gcc_kernel.plan_nfft(n + max_lag)
+    pad = lambda a: jnp.pad(a, [(0, 0)] * (a.ndim - 1) + [(0, nfft - n)])
+    fr, fi = fft_kernel.fft_rows_ct(pad(sig_re), pad(sig_im))
+    i_idx, j_idx = gcc.pair_indices(b)
+    mags = gcc_kernel.gcc_pair_lag_mags(
+        fr, fi, i_idx, j_idx, max_lag=max_lag, eps=eps, weighting=weighting
+    )
+    pk = gcc.peaks_from_lag_mags(
+        mags, sample_rate_hz=sample_rate_hz, max_lag=max_lag,
+        psr_exclude=psr_exclude,
+    )
+    return CorrelationPeakSC(
+        lag_samples=pk.lag_samples,
+        tau_s=pk.tau_s,
+        peak_value=pk.peak_value,
+        psr=pk.psr,
+    )
+
+
 def channelize_split(
     re: jnp.ndarray,
     im: jnp.ndarray,

@@ -1,0 +1,171 @@
+"""Pair-parallel (EP) GCC-PHAT + solve over a mesh axis.
+
+Scales the O(B²) pair stage that the reference walks in a Python double
+loop (`/root/reference/tdoa_processor.py:156-193`) and that the local
+all-pairs op materializes per shard (`ops/gcc_phat.py:195-248` — at
+B = 64 that is P = 2016 pair spectra per device, the memory wall VERDICT
+r1 §weak-3 called out). The EP decomposition:
+
+  1. receivers shard over the mesh axis — each device forward-FFTs its
+     B/n receivers only;
+  2. one `all_gather` shares the B per-receiver spectra (B ≪ P — the
+     cheap direction, ~B·nfft complex over ICI);
+  3. each device whitens/inverts only its P/n pair slice;
+  4. the LM solve runs with ``axis_name``: per-device J^TWJ / J^TWr
+     contributions are `psum`-reduced each iteration (13 floats/step), so
+     every device computes the identical global fix — no gather of pair
+     measurements ever happens.
+
+Peak per-device memory for the pair stage drops from O(P·nfft) to
+O((B + P/n)·nfft); compute drops n-fold.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from radio_mapper_tpu import solver
+from radio_mapper_tpu.ops import fft as fft_ops
+from radio_mapper_tpu.ops import gcc_phat as gcc_ops
+
+
+@dataclasses.dataclass(frozen=True)
+class PairEPConfig:
+    num_buoys: int = 64
+    block_len: int = 4096
+    sample_rate_hz: float = 2_048_000.0
+    max_lag: int = 256
+    weighting: str = "phat"
+    gcc_eps: float = 0.05
+    solver_iterations: int = 25
+    psr_floor: float = 1.1
+    psr_scale: float = 2.0
+
+    @property
+    def num_pairs(self) -> int:
+        return self.num_buoys * (self.num_buoys - 1) // 2
+
+
+class PairEPOutput(NamedTuple):
+    fix_enu: jnp.ndarray  # [3] — identical on every shard (psum-solved)
+    cost: jnp.ndarray  # []
+    lags: jnp.ndarray  # [P_pad] pair lags, sharded over the axis
+    weights: jnp.ndarray  # [P_pad]
+
+
+def _padded_pairs(num_buoys: int, num_shards: int) -> Tuple[np.ndarray, np.ndarray, int]:
+    """Static (i, j) pair arrays padded to a multiple of the shard count.
+
+    Padding replicates pair 0 with weight forced to 0 downstream, keeping
+    every shard's slice the same static size.
+    """
+    i_idx, j_idx = gcc_ops.pair_indices(num_buoys)
+    p = len(i_idx)
+    p_pad = -(-p // num_shards) * num_shards
+    pad = p_pad - p
+    return (
+        np.concatenate([i_idx, np.zeros(pad, np.int32)]),
+        np.concatenate([j_idx, np.ones(pad, np.int32)]),
+        p,
+    )
+
+
+def build_pair_ep_step(mesh: Mesh, config: PairEPConfig, *, axis: str = "pair"):
+    """Compile the EP step for ``mesh``.
+
+    Returns ``(step_fn, in_shardings)`` with
+    ``step_fn(re, im, anchors_enu) -> PairEPOutput``:
+
+      re/im:       [B, N] float32, receivers sharded over ``axis``;
+      anchors_enu: [B, 3] float32, replicated.
+    """
+    cfg = config
+    n_shards = mesh.shape[axis]
+    if cfg.num_buoys % n_shards:
+        raise ValueError(
+            f"num_buoys {cfg.num_buoys} must divide over {n_shards} shards"
+        )
+    pair_i, pair_j, p_real = _padded_pairs(cfg.num_buoys, n_shards)
+    p_pad = len(pair_i)
+    p_loc = p_pad // n_shards
+    nfft = fft_ops.friendly_fft_len(cfg.block_len + cfg.max_lag)
+    # Static per-shard pair tables ride in as a sharded input, so the one
+    # traced program serves every shard (shard_map is SPMD).
+    pair_i_tbl = jnp.asarray(pair_i)
+    pair_j_tbl = jnp.asarray(pair_j)
+    valid_tbl = jnp.asarray(np.arange(p_pad) < p_real, jnp.float32)
+
+    def local_step(re_l, im_l, anchors, pi_l, pj_l, valid_l):
+        # re_l/im_l: [B/n, N] — this shard's receivers.
+        pad = [(0, 0), (0, nfft - cfg.block_len)]
+        fr_l, fi_l = fft_ops.fft_re_im(jnp.pad(re_l, pad), jnp.pad(im_l, pad))
+        # Share spectra: B·nfft over ICI (B ≪ P — the cheap all_gather).
+        fr = jax.lax.all_gather(fr_l, axis, tiled=True)  # [B, nfft]
+        fi = jax.lax.all_gather(fi_l, axis, tiled=True)
+
+        # One-hot matmul gather of this shard's pair spectra: data-indexed
+        # gathers are unproven on the target runtime; [P_loc, B]×[B, nfft]
+        # matmuls are its fastest primitive.
+        hot = lambda idx: (
+            idx[:, None] == jnp.arange(cfg.num_buoys)[None, :]
+        ).astype(jnp.float32)
+        hi, hj = hot(pi_l), hot(pj_l)
+        take = lambda h, a: jnp.dot(h, a, preferred_element_type=jnp.float32)
+        xfr, xfi = take(hi, fr), take(hi, fi)
+        yfr, yfi = take(hj, fr), take(hj, fi)
+
+        # R = X·conj(Y), PHAT whitening (per-pair max gate).
+        rre = xfr * yfr + xfi * yfi
+        rim = xfi * yfr - xfr * yfi
+        if cfg.weighting == "phat":
+            mag = jnp.sqrt(rre * rre + rim * rim)
+            scale = jnp.max(mag, axis=-1, keepdims=True)
+            denom = mag + cfg.gcc_eps * scale + 1e-30
+            rre, rim = rre / denom, rim / denom
+        cre, cim = fft_ops.fft_re_im(rre, -rim)
+        cre, cim = cre / nfft, -cim / nfft  # ifft via conj trick
+        L = cfg.max_lag
+        win = lambda a: jnp.concatenate([a[..., nfft - L :], a[..., : L + 1]], -1)
+        m = jnp.sqrt(win(cre) ** 2 + win(cim) ** 2)
+        pk = gcc_ops.peaks_from_lag_mags(
+            m, sample_rate_hz=cfg.sample_rate_hz, max_lag=L
+        )
+        weights = (
+            jnp.clip((pk.psr - cfg.psr_floor) / cfg.psr_scale, 0.0, 1.0) + 1e-3
+        ) * valid_l
+        dd = solver.tau_to_distance_difference(pk.tau_s)
+        res = solver.solve_tdoa(
+            anchors, pi_l, pj_l, dd, weights,
+            iterations=cfg.solver_iterations, axis_name=axis,
+        )
+        return PairEPOutput(
+            fix_enu=res.position_enu,
+            cost=res.cost,
+            lags=pk.lag_samples,
+            weights=weights,
+        )
+
+    in_specs = (P(axis, None), P(axis, None), P(), P(axis), P(axis), P(axis))
+    out_specs = PairEPOutput(
+        fix_enu=P(), cost=P(), lags=P(axis), weights=P(axis)
+    )
+    inner = jax.shard_map(
+        local_step, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
+        # fix/cost are replicated by the psum-reduced solve; the static
+        # checker can't infer that through the solver's jit boundary.
+        check_vma=False,
+    )
+
+    def step(re, im, anchors):
+        return inner(re, im, anchors, pair_i_tbl, pair_j_tbl, valid_tbl)
+
+    in_shardings = tuple(
+        NamedSharding(mesh, sp) for sp in (P(axis, None), P(axis, None), P())
+    )
+    return jax.jit(step), in_shardings, (pair_i[:p_real], pair_j[:p_real])

@@ -95,15 +95,9 @@ def _solve3(a, b):
     return jnp.stack([x0, x1, x2], axis=-1)
 
 
-def _weighted_cost(x, anchors, pair_i, pair_j, dd, w):
-    r, _ = _residuals_and_jac(x, anchors, pair_i, pair_j, dd)
-    wsum = jnp.sum(w, axis=-1) + 1e-12
-    return jnp.sum(w * r * r, axis=-1) / wsum
-
-
 @functools.partial(
     jax.jit,
-    static_argnames=("solve_2d", "iterations", "grad_tol"),
+    static_argnames=("solve_2d", "iterations", "grad_tol", "axis_name"),
 )
 def solve_tdoa(
     anchors_enu: jnp.ndarray,
@@ -116,6 +110,7 @@ def solve_tdoa(
     solve_2d: bool = True,
     iterations: int = 40,
     grad_tol: float = 1e-2,
+    axis_name: Optional[str] = None,
 ) -> SolveResult:
     """Levenberg-Marquardt hyperbolic solve, batched over leading dims.
 
@@ -129,6 +124,13 @@ def solve_tdoa(
       solve_2d: freeze the Up component at its initial value — a 2-unknown
         solve, the right model when receivers and emitter are near one plane
         (3 receivers cannot resolve altitude anyway).
+      axis_name: pair-parallel (EP) mode — inside `shard_map`, pass the mesh
+        axis the P pair/measurement axis is sharded over. The LM normal
+        equations are additive over measurements, so each shard contributes
+        its local J^TWJ / J^TWr / cost and a `psum` over ``axis_name``
+        reconstructs the global 3×3 solve exactly; every shard then takes
+        the identical step. Collectives per iteration: one psum of
+        (3 + 9 + 1 + 1) floats — negligible against the GCC stage.
     """
     anchors_enu = jnp.asarray(anchors_enu, jnp.float32)
     dd_m = jnp.asarray(dd_m, jnp.float32)
@@ -139,10 +141,14 @@ def solve_tdoa(
         if weights is None
         else jnp.maximum(jnp.asarray(weights, jnp.float32), 0.0)
     )
+    _psum = (lambda x: jax.lax.psum(x, axis_name)) if axis_name else (lambda x: x)
+
     # All-zero weights would freeze the solver at its initial guess with a
     # zero gradient; degrade to uniform weighting instead (the measurements
     # still carry geometry even when quality metrics are uninformative).
-    w_total = jnp.sum(w, axis=-1, keepdims=True)
+    # (In EP mode the emptiness check must be GLOBAL: a shard whose local
+    # pairs are all masked still has live global measurements.)
+    w_total = _psum(jnp.sum(w, axis=-1, keepdims=True))
     w = jnp.where(w_total > 1e-9, w, jnp.ones_like(w))
 
     x0 = jnp.mean(anchors_enu, axis=-2) if init_enu is None else jnp.asarray(init_enu, jnp.float32)
@@ -156,18 +162,21 @@ def solve_tdoa(
     x0 = x0 + 0.0 * dd_m[..., :1]
     dim_mask = jnp.asarray([1.0, 1.0, 0.0] if solve_2d else [1.0, 1.0, 1.0], jnp.float32)
 
-    wsum = jnp.sum(w, axis=-1) + 1e-12
+    wsum = _psum(jnp.sum(w, axis=-1)) + 1e-12
 
     def cost_fn(x):
-        return _weighted_cost(x, anchors_enu, pair_i, pair_j, dd_m, w)
+        r, _ = _residuals_and_jac(x, anchors_enu, pair_i, pair_j, dd_m)
+        return _psum(jnp.sum(w * r * r, axis=-1)) / wsum
 
     def step(carry, _):
         x, lam, cost = carry
         r, jac = _residuals_and_jac(x, anchors_enu, pair_i, pair_j, dd_m)
         jac = jac * dim_mask  # frozen dims contribute nothing
         wr = w * r
-        g = jnp.einsum("...pk,...p->...k", jac, wr) / wsum[..., None]
-        h = jnp.einsum("...pk,...pl->...kl", jac, jac * w[..., None]) / wsum[..., None, None]
+        g = _psum(jnp.einsum("...pk,...p->...k", jac, wr)) / wsum[..., None]
+        h = _psum(
+            jnp.einsum("...pk,...pl->...kl", jac, jac * w[..., None])
+        ) / wsum[..., None, None]
         # Marquardt scaling plus a floor keeps H invertible even when the
         # geometry is degenerate (collinear receivers) or dims are frozen.
         diag = jnp.diagonal(h, axis1=-2, axis2=-1)
@@ -192,7 +201,7 @@ def solve_tdoa(
     )
 
     r, jac = _residuals_and_jac(x, anchors_enu, pair_i, pair_j, dd_m)
-    g = jnp.einsum("...pk,...p->...k", jac * dim_mask, w * r) / wsum[..., None]
+    g = _psum(jnp.einsum("...pk,...p->...k", jac * dim_mask, w * r)) / wsum[..., None]
     grad_norm = jnp.linalg.norm(g, axis=-1)
     return SolveResult(
         position_enu=x,
@@ -200,7 +209,7 @@ def solve_tdoa(
         residual_rms_m=jnp.sqrt(cost),
         grad_norm=grad_norm,
         converged=grad_norm < grad_tol,
-        num_measurements=jnp.sum(w > 0, axis=-1),
+        num_measurements=_psum(jnp.sum(w > 0, axis=-1)),
     )
 
 

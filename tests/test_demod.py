@@ -144,3 +144,59 @@ def test_demod_cli_raw_and_nbfm(tmp_path):
               "--seconds", "0.05", "--output", str(out2)])
     pcm = np.fromfile(out2, np.int16)
     assert pcm.size > 0 and np.abs(pcm).max() <= 32000
+
+
+# ------------------------------------------------------- simultaneous watch
+
+
+def test_watch_demod_block_squelch_gating():
+    """Two watch channels from one capture: the FM-occupied one opens,
+    the empty one squelches (rtl_fm's scan semantics without hopping,
+    `rtl_fm.c:939-974` — all frequencies watched simultaneously)."""
+    fs = 1_024_000.0
+    n = 131_072
+    t = np.arange(n) / fs
+    iq_fm, _ = _fm_signal(fs=fs, n=n, msg_hz=800.0, dev_hz=4000.0)
+    # FM carrier at +200 kHz, nothing at −200 kHz but weak noise.
+    rng = np.random.default_rng(0)
+    iq = iq_fm * np.exp(2j * np.pi * 200e3 * t) + 0.01 * (
+        rng.normal(size=n) + 1j * rng.normal(size=n)
+    )
+    audio, open_ = demod.watch_demod_block(
+        jnp.asarray(iq.astype(np.complex64)),
+        sample_rate_hz=fs,
+        offsets_hz=(200e3, -200e3),
+        mode="nbfm",
+        channel_rate_hz=256_000.0,
+        audio_rate_hz=16_000.0,
+        squelch_threshold=0.05,
+    )
+    open_np = np.asarray(open_)
+    audio_np = np.asarray(audio)
+    assert open_np.tolist() == [True, False]
+    assert np.std(audio_np[0]) > 1e-3  # live channel carries audio
+    assert np.allclose(audio_np[1], 0.0)  # squelched channel muted
+
+
+def test_demod_cli_watch_writes_per_channel_wavs(tmp_path):
+    """CLI --watch: per-channel WAV sinks; the emitter's channel records,
+    the empty watch frequency stays squelched."""
+    import wave
+
+    from radio_mapper_tpu import cli
+
+    out = tmp_path / "watch"
+    # The sim scenario's FM emitter sits at 121.5 MHz; 121.9 is empty.
+    cli.main([
+        "demod", "--watch", "--source", "sim", "--mode", "nbfm",
+        "--frequency", "121.5", "121.9",
+        "--squelch", "0.05", "--seconds", "0.4", "--dwell", "0.1",
+        "--output", str(out),
+    ])
+    with wave.open(str(tmp_path / "watch.121.5000MHz.wav")) as w:
+        assert w.getnchannels() == 1 and w.getsampwidth() == 2
+        frames = w.readframes(w.getnframes())
+        pcm = np.frombuffer(frames, np.int16)
+        assert pcm.size > 0 and np.abs(pcm).max() > 100
+    with wave.open(str(tmp_path / "watch.121.9000MHz.wav")) as w:
+        assert w.getnframes() == 0  # squelch never opened

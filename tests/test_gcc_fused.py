@@ -1,0 +1,169 @@
+"""Fused GCC pair stage vs float64 golden models (interpret mode on CPU).
+
+Covers the CT-order (digit-permuted) kernel pair that unlocks fusion for
+lane-misaligned FFT lengths (n2 not a multiple of 128): forward bin
+permutation correctness, the fused whiten→iFFT→lag-window against numpy,
+and end-to-end lag parity between the fused and matmul GCC paths.
+"""
+
+import numpy as np
+import pytest
+import jax.numpy as jnp
+
+from radio_mapper_tpu.ops import split_complex as sc_ops
+from radio_mapper_tpu.ops.gcc_phat import pair_indices
+from radio_mapper_tpu.ops.pallas import fft_kernel, gcc_kernel
+
+
+@pytest.mark.parametrize("n", [1024, 2176])  # 128·8 and 128·17 (odd n2)
+def test_fft_rows_ct_is_permuted_dft(n):
+    rng = np.random.default_rng(0)
+    x = rng.normal(size=(3, n)) + 1j * rng.normal(size=(3, n))
+    fr, fi = fft_kernel.fft_rows_ct(
+        jnp.asarray(x.real, jnp.float32), jnp.asarray(x.imag, jnp.float32),
+        interpret=True,
+    )
+    got = np.asarray(fr) + 1j * np.asarray(fi)
+    want = np.fft.fft(x)[:, fft_kernel.ct_permutation(n)]
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-2 * np.abs(want).max())
+
+
+def test_ct_split_prefers_balanced_lane_aligned():
+    assert fft_kernel.ct_split(16384) == (128, 128)
+    # sublane-aligned n2 (multiple of 8) wins over a smaller-sum split
+    assert fft_kernel.ct_split(16896)[1] % 8 == 0 or fft_kernel.ct_split(16896) == (128, 132)
+    n1, n2 = fft_kernel.ct_split(17408)
+    assert n1 % 128 == 0 and n2 % 8 == 0 and n1 * n2 == 17408
+    with pytest.raises(ValueError):
+        fft_kernel.ct_split(2250)  # no factor that is a multiple of 128
+    # planner emits fully tile-aligned lengths (multiples of 1024)
+    assert gcc_kernel.plan_nfft(16896) == 17408
+    n = gcc_kernel.plan_nfft(16384 + 512)
+    assert n % 1024 == 0 and fft_kernel.ct_split(n)[1] % 8 == 0
+
+
+def _golden_window(x, max_lag, eps, weighting="phat"):
+    """float64 whiten+ifft+window at the signals' own length (no pad)."""
+    nfft = x.shape[-1]
+    spec = np.fft.fft(x)
+    i_idx, j_idx = pair_indices(x.shape[0])
+    out = []
+    for i, j in zip(i_idx, j_idx):
+        r = spec[i] * np.conj(spec[j])
+        if weighting == "phat":
+            mag = np.abs(r)
+            r = r / (mag + eps * mag.max() + 1e-30)
+        corr = np.fft.ifft(r)
+        out.append(np.abs(np.concatenate([corr[nfft - max_lag :], corr[: max_lag + 1]])))
+    return np.stack(out)
+
+
+@pytest.mark.parametrize("weighting", ["phat", "cc"])
+def test_fused_pair_stage_matches_numpy(weighting):
+    n, b, max_lag = 2176, 4, 192
+    rng = np.random.default_rng(1)
+    x = rng.normal(size=(b, n)) + 1j * rng.normal(size=(b, n))
+    fr, fi = fft_kernel.fft_rows_ct(
+        jnp.asarray(x.real, jnp.float32), jnp.asarray(x.imag, jnp.float32),
+        interpret=True,
+    )
+    i_idx, j_idx = pair_indices(b)
+    mags = np.asarray(
+        gcc_kernel.gcc_pair_lag_mags(
+            fr, fi, i_idx, j_idx, max_lag=max_lag, eps=0.05,
+            weighting=weighting, interpret=True,
+        )
+    )
+    want = _golden_window(x, max_lag, 0.05, weighting)
+    assert mags.shape == want.shape
+    np.testing.assert_allclose(mags, want, rtol=1e-3, atol=1e-3 * want.max())
+
+
+def test_fused_pair_stage_batched_and_chunked():
+    """Leading batch dims and pair chunking smaller than P."""
+    n, b, max_lag = 1024, 5, 100  # P = 10 → chunks of 4, 4, 2
+    rng = np.random.default_rng(2)
+    x = rng.normal(size=(2, b, n)) + 1j * rng.normal(size=(2, b, n))
+    fr, fi = fft_kernel.fft_rows_ct(
+        jnp.asarray(x.real, jnp.float32), jnp.asarray(x.imag, jnp.float32),
+        interpret=True,
+    )
+    i_idx, j_idx = pair_indices(b)
+    mags = np.asarray(
+        gcc_kernel.gcc_pair_lag_mags(
+            fr, fi, i_idx, j_idx, max_lag=max_lag, eps=0.05,
+            pair_chunk=4, interpret=True,
+        )
+    )
+    assert mags.shape == (2, 10, 2 * max_lag + 1)
+    for c in range(2):
+        want = _golden_window(x[c], max_lag, 0.05)
+        np.testing.assert_allclose(mags[c], want, rtol=1e-3, atol=1e-3 * want.max())
+
+
+def test_fused_gcc_lag_parity_with_matmul_path():
+    """End-to-end: fused path recovers the same sub-sample lags as the
+    matmul path on a synthetic delayed pair set (different FFT padding,
+    same physics)."""
+    from radio_mapper_tpu import sim
+
+    # Wideband emitter: correlation lobe ~4 samples, so sub-sample peaks
+    # are actually resolvable at this short block length.
+    scen = sim.default_scenario(
+        block_len=4096, snr_db=25.0, seed=7, bandwidth_hz=500e3
+    )
+    cap = sim.synthesize(scen)
+    re = jnp.asarray(cap.iq.real, jnp.float32)
+    im = jnp.asarray(cap.iq.imag, jnp.float32)
+    kw = dict(sample_rate_hz=scen.sample_rate_hz, max_lag=256)
+
+    ref = sc_ops.gcc_phat_all_pairs_split(re, im, **kw)
+    sc_ops.set_gcc_fused("on")
+    try:
+        fused = sc_ops.gcc_phat_all_pairs_split_fused(re, im, **kw)
+    finally:
+        sc_ops.set_gcc_fused("auto")
+    np.testing.assert_allclose(
+        np.asarray(fused.lag_samples), np.asarray(ref.lag_samples), atol=0.05
+    )
+    # Ground truth: true pair lags within 0.1 sample (BASELINE bound).
+    i_idx, j_idx = pair_indices(len(scen.buoys))
+    true = np.array(
+        [cap.true_pair_lag_samples(i, j) for i, j in zip(i_idx, j_idx)]
+    )
+    np.testing.assert_allclose(np.asarray(fused.lag_samples), true, atol=0.1)
+
+
+def test_pipeline_step_split_fused_matches_unfused():
+    from radio_mapper_tpu.models.pipeline import PipelineConfig, TDOAPipeline
+    from radio_mapper_tpu import sim
+
+    scen = sim.default_scenario(
+        block_len=4096, snr_db=25.0, seed=9, bandwidth_hz=500e3
+    )
+    cap = sim.synthesize(scen)
+    pipe = TDOAPipeline(
+        PipelineConfig(
+            num_buoys=4, block_len=4096, sample_rate_hz=scen.sample_rate_hz,
+            max_lag=256, power_offset_db=40.0, solver_iterations=25,
+        )
+    )
+    re = jnp.asarray(cap.iq.real, jnp.float32)
+    im = jnp.asarray(cap.iq.imag, jnp.float32)
+    anchors = jnp.asarray(cap.buoy_enu, jnp.float32)
+    base = pipe.step_split(re, im, anchors)
+    sc_ops.set_gcc_fused("on")
+    try:
+        fused = pipe.step_split(re, im, anchors)
+    finally:
+        sc_ops.set_gcc_fused("auto")
+    np.testing.assert_allclose(
+        np.asarray(fused.correlation.lag_samples),
+        np.asarray(base.correlation.lag_samples),
+        atol=0.05,
+    )
+    np.testing.assert_allclose(
+        np.asarray(fused.fix.position_enu),
+        np.asarray(base.fix.position_enu),
+        atol=5.0,
+    )

@@ -126,7 +126,59 @@ class TestCapturePlan:
         md = plan.lo.params["mix_div"]
         assert abs(plan.lo_error_hz) <= 2 * (2 * 28_800_000 / 65_536 / md)
 
-    def test_fc_series_assumed_exact(self):
+    def test_fc_series_planned(self):
         plan = tp.plan_capture(100e6, 2_048_000, tuner="fc0013")
-        assert plan.lo.error_hz == 0.0
+        # LO now modeled: sub-sample-grade granularity, not assumed exact.
+        assert 0.0 < abs(plan.lo.error_hz) < 2_000.0
         assert plan.gain_tenth_db in tp.TUNER_GAINS["fc0013"]
+
+
+class TestFcSeriesPll:
+    """FC0012/FC0013/FC2580 PLL models (`tuner_fc0012.c:150-255`,
+    `tuner_fc0013.c:194-352`, `tuner_fc2580.c:195-230`)."""
+
+    def test_fc0012_band_multipliers(self):
+        # freq·multi just under 3.56 GHz band edges (tuner_fc0012.c:160-200)
+        assert tp.plan_fc0012_pll(30e6).params["multi"] == 96
+        assert tp.plan_fc0012_pll(100e6).params["multi"] == 32
+        assert tp.plan_fc0012_pll(250e6).params["multi"] == 12
+        assert tp.plan_fc0012_pll(700e6).params["multi"] == 4
+
+    def test_fc0013_extends_to_div2(self):
+        assert tp.plan_fc0013_pll(900e6).params["multi"] == 4
+        assert tp.plan_fc0013_pll(1_100e6).params["multi"] == 2
+
+    def test_fc001x_lo_quantization_small(self):
+        # sigma-delta step = xtal_div2/32768 at VCO → Hz-scale at LO; the
+        # kHz truncation in the C math bounds the worst case under ~1 kHz.
+        for f in (50e6, 121.5e6, 406.025e6, 850e6):
+            p = tp.plan_fc0013_pll(f)
+            assert abs(p.error_hz) < 1_000.0, (f, p.error_hz)
+            # divider consistency: reconstructed VCO within one SDM step
+            step = p.params["xtal_div2"] / 32768
+            assert abs(p.actual_hz * p.params["multi"] -
+                       f * p.params["multi"]) < p.params["multi"] * 1_000
+
+    def test_fc0012_rejects_unreachable(self):
+        # Very low frequency: pm sinks below 0x0b → PlanError
+        with pytest.raises(tp.PlanError):
+            tp.plan_fc0012_pll(2e6)
+
+    def test_fc2580_bands_and_quantization(self):
+        vhf = tp.plan_fc2580_pll(200e6)
+        assert vhf.params["multi"] == 12
+        uhf = tp.plan_fc2580_pll(600e6)
+        assert uhf.params["multi"] == 4
+        lband = tp.plan_fc2580_pll(1_500e6)
+        assert lband.params["multi"] == 2
+        # 20-bit fractional-N: LO error under f_comp/2^20/multi + rounding
+        for p in (vhf, uhf, lband):
+            assert abs(p.error_hz) < 2_000.0
+
+    def test_if_freq_and_offset_tuning_math(self):
+        # 22-bit IF quantization (librtlsdr.c:704): ~6.87 Hz granularity
+        eff = tp.plan_if_freq(3_570_000)
+        assert abs(eff - 3_570_000) < 28_800_000 / (1 << 22)
+        # keenerd offset: (rate/2)*1.7 (librtlsdr.c:1237)
+        assert tp.offset_tuning_offs_hz(2_048_000) == 1_740_800
+        assert tp.offset_tuning_offs_hz(250_000) == 212_500
