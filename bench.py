@@ -208,10 +208,22 @@ def run_gcc_microbench(
 
 
 def main():
+    import os
+
     import jax
 
     backend = jax.default_backend()
     peak = PEAK_FLOPS_BY_PLATFORM.get(backend)
+
+    # A/B hook: BENCH_GCC_FUSED=on|off|auto forces the GCC pair-stage
+    # routing (fused Pallas kernel vs XLA matmul path) for clean
+    # comparisons on the same tunnel state.
+    mode = os.environ.get("BENCH_GCC_FUSED")
+    if mode:
+        from radio_mapper_tpu.ops import split_complex as sc_ops
+
+        sc_ops.set_gcc_fused(mode)
+        _log(f"GCC fused routing forced: {mode}")
 
     # Channel-count sweep: the per-program latency floor of remote TPU
     # runtimes (~3 ms) is amortized differently at different batch sizes.

@@ -20,6 +20,12 @@ class IQSource(abc.ABC):
 
     sample_rate_hz: float
     center_frequency_hz: float
+    # dB to add to 20·log10|FFT| so detection thresholds match the
+    # reference's raw-count "dBm" scale (`buoy_node.py:401-433`):
+    # 0 for uint8-count-scale sources (rtl_sdr/rtl_tcp/file decode at
+    # ±127.5 counts); ~40 for unit-RMS synthetic floats. Detectors read
+    # this instead of requiring callers to hand-thread the constant.
+    power_offset_db: float = 0.0
 
     @abc.abstractmethod
     def read(self, num_samples: int) -> np.ndarray:
@@ -73,6 +79,7 @@ class SimulatedSource(IQSource):
         self._cache: Optional[np.ndarray] = None
         self._cache_key = None
         self.pps_align_s = pps_align_s
+        self.power_offset_db = 40.0  # unit-RMS floats vs raw-count dB
 
     def _ensure_cache(self):
         on_channel = (

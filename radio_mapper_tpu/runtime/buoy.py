@@ -111,11 +111,16 @@ class BuoyNode:
             import jax
 
             cfg = self.config
+            # Power calibration: an explicit config value wins; otherwise
+            # the SOURCE declares its own scale (counts → 0, unit floats
+            # → ~40), so nobody has to hand-thread the constant and a
+            # forgotten offset can no longer silently detect nothing.
+            offset_db = cfg.power_offset_db or getattr(
+                self.source, "power_offset_db", 0.0
+            )
 
             def fn(iq):
-                power_db = (
-                    spectral_ops.power_spectrum_db(iq) + cfg.power_offset_db
-                )
+                power_db = spectral_ops.power_spectrum_db(iq) + offset_db
                 peaks = detect_ops.detect_peaks(
                     power_db,
                     sample_rate_hz=cfg.sample_rate_hz,
@@ -561,7 +566,7 @@ def simulated_buoy(
         lng=b.lng,
         sample_rate_hz=scenario.sample_rate_hz,
         development_mode=True,
-        power_offset_db=40.0,  # unit-scale synthetic floats vs raw-count dB
+        # power calibration comes from the source's declared scale now
     )
     gps = GPSTimeSource(
         cfg.lat, cfg.lng, development_mode=True, clock_offset_ns=clock_offset_ns

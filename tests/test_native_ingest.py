@@ -147,3 +147,25 @@ def test_buoy_detects_through_native_ring(tmp_path):
         assert stats["bytes_consumed"] >= node.config.block_len * 2
     finally:
         src.close()
+
+
+def test_ring_under_sanitizers():
+    """TSan + ASan/UBSan stress of the SPSC ring (SURVEY §5: the
+    reference ships zero race detection; these targets are the
+    framework's sanitizer gate)."""
+    import os
+    import shutil
+    import subprocess
+
+    if shutil.which("g++") is None:
+        pytest.skip("no g++")
+    native_dir = os.path.join(os.path.dirname(os.path.dirname(__file__)), "native")
+    for target in ("tsan", "asan"):
+        res = subprocess.run(
+            ["make", "-s", target], cwd=native_dir,
+            capture_output=True, text=True, timeout=300,
+        )
+        assert res.returncode == 0, f"{target}: {res.stdout}\n{res.stderr}"
+        combined = res.stdout + res.stderr
+        assert "WARNING: ThreadSanitizer" not in combined, combined
+        assert "ERROR: AddressSanitizer" not in combined, combined
