@@ -195,12 +195,15 @@ def run_gcc_microbench(
     rng = np.random.default_rng(0)
     re = jax.device_put(rng.normal(size=(channels, num_buoys, n)).astype(np.float32))
     im = jax.device_put(rng.normal(size=(channels, num_buoys, n)).astype(np.float32))
+    # Measure whatever the pipeline would actually route to (fused Pallas
+    # pair stage on TPU when supported, XLA matmul path otherwise).
+    fn = (
+        sc_ops.gcc_phat_all_pairs_split_fused
+        if sc_ops.gcc_fused_enabled(n + max_lag, "phat")
+        else sc_ops.gcc_phat_all_pairs_split
+    )
     step = jax.jit(
-        functools.partial(
-            sc_ops.gcc_phat_all_pairs_split,
-            sample_rate_hz=2_400_000.0,
-            max_lag=max_lag,
-        )
+        functools.partial(fn, sample_rate_hz=2_400_000.0, max_lag=max_lag)
     )
     dt = _median_time(step, (re, im), iters=iters)
     pairs = num_buoys * (num_buoys - 1) // 2
@@ -227,9 +230,11 @@ def main():
 
     # Channel-count sweep: the per-program latency floor of remote TPU
     # runtimes (~3 ms) is amortized differently at different batch sizes.
-    # Two epochs per config; median-of-iters within an epoch.
+    # Two epochs per config; median-of-iters within an epoch. 64 channels
+    # probes the latency-amortized regime (per-step FLOPs say the compute
+    # floor is ~1-2 ms; bigger batches dilute the dispatch overhead).
     best = {"rate": 0.0}
-    for ch in (16, 32):
+    for ch in (16, 32, 64):
         epochs = []
         for epoch in range(2):
             try:

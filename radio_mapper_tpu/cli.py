@@ -58,7 +58,7 @@ def cmd_server(args):
 
     central = CentralProcessor(
         host=args.host, ws_port=args.ws_port, http_port=args.http_port,
-        min_nodes=args.min_nodes,
+        min_nodes=args.min_nodes, waveform_mode=args.waveform_mode,
     )
     asyncio.run(central.run_forever())
 
@@ -683,6 +683,10 @@ def build_parser() -> argparse.ArgumentParser:
     s.add_argument("--ws-port", type=int, default=8081)
     s.add_argument("--http-port", type=int, default=4000)
     s.add_argument("--min-nodes", type=int, default=3)
+    s.add_argument("--waveform-mode", choices=["auto", "always", "never"],
+                   default="auto",
+                   help="waveform GCC-PHAT TDOA on IQ-bearing detections "
+                        "(auto = prefer, fall back to timestamps)")
     s.set_defaults(fn=cmd_server)
 
     s = sub.add_parser("buoy", help="run a buoy node")

@@ -118,12 +118,19 @@ class TdoaConfig:
     minimum_snr_db: float = 10.0
     maximum_timing_error_us: float = 10.0
     confidence_threshold: float = 0.7
+    # Live waveform GCC-PHAT mode: "auto" prefers snippet correlation and
+    # falls back to timestamp differencing; "always" / "never" force.
+    waveform_mode: str = "auto"
+    # Same-dwell anchor clustering tolerance (see runtime/tdoa_engine.py).
+    waveform_anchor_tolerance_s: float = 0.05
 
     def validate(self):
         if self.minimum_buoys < 3:
             raise ValueError("TDoA triangulation needs at least 3 buoys")
         if self.maximum_baseline_km <= 0:
             raise ValueError("maximum_baseline_km must be positive")
+        if self.waveform_mode not in ("auto", "always", "never"):
+            raise ValueError(f"unknown waveform_mode {self.waveform_mode!r}")
 
     def max_lag_samples(self, sample_rate_hz: float) -> int:
         """Correlation window from the maximum baseline (+25% guard)."""

@@ -80,6 +80,16 @@ def _constants(n: int):
     )
 
 
+def _kernel_precision():
+    """Kernel matmul precision follows the module-wide FFT precision knob
+    (ops.fft.set_precision): HIGH (3-pass bf16) measured identical GCC lag
+    accuracy to HIGHEST (6-pass) on the target chip at half the MXU work.
+    Consulted at trace time, like the rest of the FFT configuration."""
+    from radio_mapper_tpu.ops import fft as fft_ops
+
+    return fft_ops.get_precision()
+
+
 def _fft_rows_kernel(
     xre_ref, xim_ref,
     w1re_ref, w1im_ref, w2re_ref, w2im_ref, twre_ref, twim_ref,
@@ -96,7 +106,7 @@ def _fft_rows_kernel(
     dot = functools.partial(
         jax.lax.dot_general,
         preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST,
+        precision=_kernel_precision(),
     )
     dn = (((1,), (0,)), ((), ()))
 
@@ -306,7 +316,7 @@ def _fft_rows_ct_kernel(
     dot = functools.partial(
         jax.lax.dot_general,
         preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST,
+        precision=_kernel_precision(),
     )
     dn = (((1,), (0,)), ((), ()))
 

@@ -88,7 +88,7 @@ def _gcc_pairs_kernel(
     dot = functools.partial(
         jax.lax.dot_general,
         preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST,
+        precision=fft_kernel._kernel_precision(),
     )
     dn = (((1,), (0,)), ((), ()))
     n = n1 * n2

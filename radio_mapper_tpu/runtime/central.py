@@ -80,6 +80,7 @@ class CentralProcessor:
         store=None,
         stale_after_s: float = 90.0,
         alerter=None,
+        waveform_mode: str = "auto",
     ):
         self.host = host
         self.ws_port = ws_port
@@ -100,7 +101,7 @@ class CentralProcessor:
         # waveform payload is only useful while correlation can still fire.
         self._recent: "deque[LiveSignalDetection]" = deque()
         self.triangulated_signals: List[TriangulatedSignal] = []
-        self.engine = TDoAEngine(min_buoys=min_nodes)
+        self.engine = TDoAEngine(min_buoys=min_nodes, waveform_mode=waveform_mode)
         self.started_at = time.time()
         self.metrics = MetricsRegistry()
         self.alerter = alerter if alerter is not None else EmergencyAlerter()
@@ -395,6 +396,10 @@ class CentralProcessor:
                     "confidence": s.confidence,
                     "triangulated": True,
                     "accuracy_meters": s.accuracy_meters,
+                    # extension over the reference shape: how the fix was
+                    # solved ("gcc-phat+lm" waveform vs "hyperbolic-lm"
+                    # timestamp differencing)
+                    "method": s.triangulation_method,
                 }
             )
         return self._json(out)
