@@ -155,32 +155,46 @@ def estimate_bandwidth_hz(
     Returns:
       ``[...]`` bandwidth estimate in Hz (at least one bin wide).
     """
+    from radio_mapper_tpu.ops import safe
+
     f = power_db.shape[-1]
     if smooth_bins > 1:
-        ndim = power_db.ndim
-        window = (1,) * (ndim - 1) + (smooth_bins,)
-        summed = jax.lax.reduce_window(
-            power_db, 0.0, jax.lax.add, window, (1,) * ndim, padding="SAME"
-        )
-        power_db = summed / smooth_bins
-    offs = np.arange(-max_halfwidth_bins, max_halfwidth_bins + 1)
-    idx = jnp.clip(peak_bin[..., None] + offs, 0, f - 1)
-    neigh = jnp.take_along_axis(power_db, idx, axis=-1)
-    peak_val = jnp.take_along_axis(power_db, peak_bin[..., None], axis=-1)
-    below = neigh < (peak_val - drop_db)
+        if safe.enabled():
+            # Boxcar via static rolls — reduce_window is unproven on the
+            # target runtime (docs/PROBES.md) and smooth_bins is small.
+            h = smooth_bins // 2
+            acc = power_db
+            for d in range(1, h + 1):
+                acc = acc + jnp.roll(power_db, d, axis=-1)
+                acc = acc + jnp.roll(power_db, -d, axis=-1)
+            power_db = acc / smooth_bins
+        else:
+            ndim = power_db.ndim
+            window = (1,) * (ndim - 1) + (smooth_bins,)
+            summed = jax.lax.reduce_window(
+                power_db, 0.0, jax.lax.add, window, (1,) * ndim, padding="SAME"
+            )
+            power_db = summed / smooth_bins
 
-    center = max_halfwidth_bins  # index of the peak within `offs`
-    right = below[..., center:]
-    left = jnp.flip(below[..., : center + 1], axis=-1)
-
-    def first_true(mask):
-        # distance (in bins) from the peak to the first below-threshold bin;
-        # if never below, the full halfwidth.
-        any_below = jnp.any(mask, axis=-1)
-        first = jnp.argmax(mask, axis=-1)
-        return jnp.where(any_below, first, max_halfwidth_bins)
-
-    width_bins = first_true(right) + first_true(left)
-    width_bins = jnp.maximum(width_bins, 1)
+    # Gather-free walk: the first below-threshold bin on each side is a
+    # masked min-reduction over signed bin distance — comparisons and
+    # reductions only, identical semantics to the ±halfwidth walk and safe
+    # on runtimes where take_along_axis/argmax are not.
+    peak_val = (
+        safe.take1_last(power_db, peak_bin)
+        if safe.enabled()
+        else jnp.take_along_axis(power_db, peak_bin[..., None], axis=-1)[..., 0]
+    )
+    idxs = jax.lax.broadcasted_iota(jnp.int32, power_db.shape, power_db.ndim - 1)
+    delta = idxs - peak_bin[..., None]
+    below = power_db < (peak_val[..., None] - drop_db)
+    big = jnp.int32(max_halfwidth_bins)
+    first_right = jnp.minimum(
+        jnp.min(jnp.where(below & (delta > 0), delta, big), axis=-1), big
+    )
+    first_left = jnp.minimum(
+        jnp.min(jnp.where(below & (delta < 0), -delta, big), axis=-1), big
+    )
+    width_bins = jnp.maximum(first_right + first_left, 1)
     bin_hz = sample_rate_hz / f
     return width_bins.astype(jnp.float32) * jnp.float32(bin_hz)

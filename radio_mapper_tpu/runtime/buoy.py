@@ -34,6 +34,7 @@ from radio_mapper_tpu import constants
 from radio_mapper_tpu.ingest import IQSource, SimulatedSource
 from radio_mapper_tpu.ops import detect as detect_ops
 from radio_mapper_tpu.ops import spectral as spectral_ops
+from radio_mapper_tpu.ops import split_complex as sc_ops
 from radio_mapper_tpu.runtime.datamodel import (
     BuoyStatus,
     NumpyJSONEncoder,
@@ -119,8 +120,12 @@ class BuoyNode:
                 self.source, "power_offset_db", 0.0
             )
 
-            def fn(iq):
-                power_db = spectral_ops.power_spectrum_db(iq) + offset_db
+            def fn(re, im):
+                # Split-complex spectrum: no complex dtype in the traced
+                # program — standalone complex elementwise jit is
+                # UNIMPLEMENTED on the target runtime (docs/PROBES.md),
+                # so the live buoy detector mirrors the pipeline's path.
+                power_db = sc_ops.power_spectrum_db_split(re, im) + offset_db
                 peaks = detect_ops.detect_peaks(
                     power_db,
                     sample_rate_hz=cfg.sample_rate_hz,
@@ -166,7 +171,12 @@ class BuoyNode:
         correlates across buoys. ``anchor_ns`` is the (buoy-clock) GPS time
         of the capture window start; 0 falls back to the detection stamp.
         """
-        peaks, bw = self._detector()(iq.astype(np.complex64))
+        iq = np.asarray(iq)
+        # Host-side split: the device never sees a complex dtype.
+        peaks, bw = self._detector()(
+            np.ascontiguousarray(iq.real, dtype=np.float32),
+            np.ascontiguousarray(iq.imag, dtype=np.float32),
+        )
         self.last_bandwidths_hz = np.asarray(bw)
         valid = np.asarray(peaks.valid)
         freqs = np.asarray(peaks.freq_offset_hz) + center_frequency_hz
