@@ -118,17 +118,17 @@ def _analytic_step_flops(num_channels, num_buoys, block_len, max_lag) -> float:
     return num_channels * (num_buoys + pairs) * per_fft
 
 
-def run_pipeline_bench(
+def build_pipeline_step(
     *,
     num_channels: int = 32,
     num_buoys: int = 8,
     block_len: int = 16_384,
     sample_rate_hz: float = 2_400_000.0,
     max_lag: int = 512,
-    iters: int = 10,
     path: str = "auto",  # auto | split | complex
 ):
-    """Returns (samples_per_s, path_name, step_s, flops_per_step)."""
+    """Compile ONE step (remote AOT compiles cost minutes — reuse it for
+    every epoch). Returns (name, compiled_step, args, flops_per_step)."""
     import jax
 
     pipe = _build(num_channels, num_buoys, block_len, sample_rate_hz, max_lag)
@@ -144,26 +144,41 @@ def run_pipeline_bench(
         attempts.append(("complex", pipe.step, pipe.jit_step(), (iq, anchors)))
 
     last_err = None
-    results = []  # measure EVERY path; report the best (they differ ~25%)
     for name, raw_fn, step, args in attempts:
         try:
             args = jax.device_put(args)
-            step_s = _median_time(step, args, iters=iters)
-            samples = num_channels * num_buoys * block_len
-            rate = samples / step_s
+            t0 = time.perf_counter()
+            out = step(*args)
+            jax.block_until_ready(out)
+            _log(f"path {name!r}: compile+first {time.perf_counter()-t0:.1f}s")
             flops = _program_flops(raw_fn, args)
-            _log(f"path {name!r}: {rate/1e6:.1f} MS/s/chip ({step_s*1e3:.2f} ms/step)")
-            results.append((rate, name, step_s, flops))
+            # XLA's cost_analysis under-reports on some AOT backends
+            # (observed 35×); the analytic dominant-terms count is a floor.
+            flops = max(
+                flops,
+                _analytic_step_flops(num_channels, num_buoys, block_len, max_lag),
+            )
+            return name, step, args, flops
         except Exception as e:  # try the next path
             last_err = e
             _log(f"bench path {name!r} failed: {e}")
-    if not results:
-        raise RuntimeError(f"all bench paths failed: {last_err}")
-    rate, name, step_s, flops = max(results)
-    # XLA's cost_analysis under-reports on some AOT backends (observed:
-    # 1.15 GF for a ~40 GF program on the remote TPU path); trust whichever
-    # count is larger — the analytic count is a dominant-terms lower bound.
-    flops = max(flops, _analytic_step_flops(num_channels, num_buoys, block_len, max_lag))
+    raise RuntimeError(f"all bench paths failed: {last_err}")
+
+
+def run_pipeline_bench(
+    *,
+    num_channels: int = 32,
+    iters: int = 10,
+    **kwargs,
+):
+    """Single-shot convenience: build + one timed epoch."""
+    num_buoys = kwargs.get("num_buoys", 8)
+    block_len = kwargs.get("block_len", 16_384)
+    name, step, args, flops = build_pipeline_step(
+        num_channels=num_channels, **kwargs
+    )
+    step_s = _median_time(step, args, iters=iters, warmup=0)
+    rate = num_channels * num_buoys * block_len / step_s
     return rate, name, step_s, flops
 
 
@@ -233,21 +248,24 @@ def main():
     # Two epochs per config; median-of-iters within an epoch. 64 channels
     # probes the latency-amortized regime (per-step FLOPs say the compute
     # floor is ~1-2 ms; bigger batches dilute the dispatch overhead).
+    # (16 dropped: with the dispatch floor amortized at 32/64 it never
+    # wins, and every config costs a multi-minute remote compile. The
+    # program compiles ONCE per config; both timing epochs reuse it.)
     best = {"rate": 0.0}
-    for ch in (16, 32, 64):
+    for ch in (32, 64):
+        try:
+            path, step, args, flops = build_pipeline_step(num_channels=ch)
+        except Exception as e:
+            _log(f"bench channels={ch} failed entirely: {e}")
+            continue
+        samples = ch * 8 * 16_384
         epochs = []
         for epoch in range(2):
-            try:
-                rate, path, step_s, flops = run_pipeline_bench(num_channels=ch)
-                epochs.append((rate, path, step_s, flops))
-            except Exception as e:
-                _log(f"bench channels={ch} epoch {epoch} failed entirely: {e}")
-        if not epochs:
-            continue
-        rate, path, step_s, flops = max(epochs)
-        if len(epochs) == 2:
-            spread = abs(epochs[0][0] - epochs[1][0]) / max(r for r, *_ in epochs)
-            _log(f"channels={ch}: epochs agree within {spread*100:.1f}%")
+            step_s = _median_time(step, args, iters=10, warmup=1)
+            epochs.append((samples / step_s, step_s))
+        rate, step_s = max(epochs)
+        spread = abs(epochs[0][0] - epochs[1][0]) / rate
+        _log(f"channels={ch}: epochs agree within {spread*100:.1f}%")
         _log(f"channels={ch}: {rate/1e6:.1f} MS/s/chip (path={path}, {step_s*1e3:.2f} ms/step)")
         if rate > best["rate"]:
             best = {

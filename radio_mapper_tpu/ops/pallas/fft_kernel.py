@@ -82,12 +82,18 @@ def _constants(n: int):
 
 def _kernel_precision():
     """Kernel matmul precision follows the module-wide FFT precision knob
-    (ops.fft.set_precision): HIGH (3-pass bf16) measured identical GCC lag
-    accuracy to HIGHEST (6-pass) on the target chip at half the MXU work.
-    Consulted at trace time, like the rest of the FFT configuration."""
+    (ops.fft.set_precision) — except that Mosaic's dot lowering only
+    implements DEFAULT and HIGHEST (observed on-chip:
+    `NotImplementedError: Unsupported dot precision: HIGH`), so HIGH maps
+    up to HIGHEST inside kernels. Consulted at trace time."""
+    import jax as _jax
+
     from radio_mapper_tpu.ops import fft as fft_ops
 
-    return fft_ops.get_precision()
+    p = fft_ops.get_precision()
+    if p == _jax.lax.Precision.DEFAULT:
+        return p
+    return _jax.lax.Precision.HIGHEST
 
 
 def _fft_rows_kernel(

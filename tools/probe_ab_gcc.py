@@ -37,7 +37,15 @@ def main():
     for mode in ("off", "on"):
         sc_ops.set_gcc_fused(mode)
         t0 = time.time()
-        f = jax.jit(pipe.step_split)  # fresh jit per routing (trace-time flag)
+
+        # DISTINCT function identity per mode: jax.jit of the same bound
+        # method shares one compilation cache, and the routing flag is
+        # trace-time only — a shared cache silently reuses the first
+        # mode's trace (observed: identical outputs, 0.0 s "compile").
+        def step_fn(re_, im_, a_, _mode=mode):
+            return pipe.step_split(re_, im_, a_)
+
+        f = jax.jit(step_fn)
         out = f(*args)
         jax.block_until_ready(out)
         print(f"# mode {mode}: compile+first {time.time()-t0:.1f}s", flush=True)
