@@ -181,22 +181,33 @@ class TDOAPipeline:
         c = self.config
         n = re.shape[-1]
         use_fused = sc_ops.gcc_fused_enabled(n + c.max_lag, c.weighting)
-        spectra = (
-            None
-            if use_fused
-            else sc_ops.receiver_spectra_split(re, im, max_lag=c.max_lag)
-        )
-        if spectra is not None and spectra[2] == 2 * n:
-            # Zero-padding to exactly 2N makes the padded transform's even
-            # bins equal the plain N-point FFT bit-for-bit — the detector's
-            # spectrum is a strided view of the correlation FFTs, free.
-            fr, fi, _ = spectra
+        if use_fused:
+            # ONE forward transform (CT bin order) feeds both stages: the
+            # detector takes the power spectrum through a single cheap
+            # un-permuting transpose, the fused pair stage consumes the
+            # CT-order spectra directly — no second FFT pass, no complex
+            # bin transpose, ever.
+            ct_spectra = sc_ops.receiver_spectra_ct(re, im, max_lag=c.max_lag)
             power_db = (
-                10.0 * jnp.log10(fr[..., ::2] ** 2 + fi[..., ::2] ** 2 + 1e-24)
+                sc_ops.ct_power_db(ct_spectra[0], ct_spectra[1])
                 + c.power_offset_db
             )
         else:
-            power_db = sc_ops.power_spectrum_db_split(re, im) + c.power_offset_db
+            spectra = sc_ops.receiver_spectra_split(re, im, max_lag=c.max_lag)
+            if spectra[2] == 2 * n:
+                # Zero-padding to exactly 2N makes the padded transform's
+                # even bins equal the plain N-point FFT bit-for-bit — the
+                # detector's spectrum is a strided view of the correlation
+                # FFTs, free.
+                fr, fi, _ = spectra
+                power_db = (
+                    10.0 * jnp.log10(fr[..., ::2] ** 2 + fi[..., ::2] ** 2 + 1e-24)
+                    + c.power_offset_db
+                )
+            else:
+                power_db = (
+                    sc_ops.power_spectrum_db_split(re, im) + c.power_offset_db
+                )
         peaks = detect_ops.detect_peaks(
             power_db,
             sample_rate_hz=c.sample_rate_hz,
@@ -212,6 +223,7 @@ class TDOAPipeline:
                 max_lag=c.max_lag,
                 weighting=c.weighting,
                 eps=c.gcc_eps,
+                spectra=ct_spectra,
             )
         else:
             corr_sc = sc_ops.gcc_phat_all_pairs_split(

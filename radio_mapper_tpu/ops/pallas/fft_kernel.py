@@ -80,20 +80,42 @@ def _constants(n: int):
     )
 
 
-def _kernel_precision():
-    """Kernel matmul precision follows the module-wide FFT precision knob
-    (ops.fft.set_precision) — except that Mosaic's dot lowering only
-    implements DEFAULT and HIGHEST (observed on-chip:
-    `NotImplementedError: Unsupported dot precision: HIGH`), so HIGH maps
-    up to HIGHEST inside kernels. Consulted at trace time."""
+def _dot_bf16x3(a, b, dn):
+    """Explicit 3-pass bf16 emulation of an f32 matmul (a.k.a. bf16x3).
+
+    XLA's ``Precision.HIGH`` is exactly this algorithm, but Mosaic's dot
+    lowering implements only DEFAULT and HIGHEST, so requesting HIGH in a
+    kernel either fails or (mapped up) pays HIGHEST's 6 MXU passes. The
+    split is spelled out instead: a = hi + lo with hi = bf16(a), each
+    pass a native bf16×bf16→f32 MXU dot. The dropped lo·lo term is
+    O(2^-18) relative per product — ~5e-4 worst-case on a 17k-point DFT
+    row, three orders of magnitude inside the 0.1-sample τ budget — for
+    HALF the MXU work of HIGHEST. Runs identically (and is tested) on
+    CPU interpret mode since the bf16 rounding is explicit.
+    """
+    f32 = jnp.float32
+    a_hi = a.astype(jnp.bfloat16)
+    a_lo = (a - a_hi.astype(f32)).astype(jnp.bfloat16)
+    b_hi = b.astype(jnp.bfloat16)
+    b_lo = (b - b_hi.astype(f32)).astype(jnp.bfloat16)
+    d = lambda x, y: jax.lax.dot_general(x, y, dn, preferred_element_type=f32)
+    return d(a_hi, b_hi) + d(a_hi, b_lo) + d(a_lo, b_hi)
+
+
+def kernel_dot():
+    """Trace-time dot factory for Pallas kernels: honors the module FFT
+    precision knob, implementing HIGH as explicit bf16x3 (see above)
+    instead of rounding it up to HIGHEST. Returns ``dot(a, b, dn)``."""
     import jax as _jax
 
     from radio_mapper_tpu.ops import fft as fft_ops
 
     p = fft_ops.get_precision()
-    if p == _jax.lax.Precision.DEFAULT:
-        return p
-    return _jax.lax.Precision.HIGHEST
+    if p == _jax.lax.Precision.HIGH:
+        return _dot_bf16x3
+    return lambda a, b, dn: jax.lax.dot_general(
+        a, b, dn, preferred_element_type=jnp.float32, precision=p
+    )
 
 
 def _fft_rows_kernel(
@@ -109,11 +131,7 @@ def _fft_rows_kernel(
     128³ matmuls would leave the systolic array mostly idle.
     """
 
-    dot = functools.partial(
-        jax.lax.dot_general,
-        preferred_element_type=jnp.float32,
-        precision=_kernel_precision(),
-    )
+    dot = kernel_dot()
     dn = (((1,), (0,)), ((), ()))
 
     w1re, w1im = w1re_ref[:], w1im_ref[:]
@@ -307,6 +325,22 @@ def ct_permutation(n: int) -> np.ndarray:
     return (k2 + n2 * k1).reshape(-1)  # index m = k2*n1 + k1 row-major
 
 
+def ct_unpermute(x: jnp.ndarray) -> jnp.ndarray:
+    """CT-order last axis → natural bin order, as one XLA transpose.
+
+    CT index m = k2·n1 + k1 viewed as C[k2, k1]; natural index
+    k = k2 + n2·k1 viewed as N[k1, k2] — so N = Cᵀ. Lets natural-order
+    consumers (e.g. the peak detector, whose local-max window needs
+    frequency-adjacent bins) reuse :func:`fft_rows_ct` spectra for the
+    cost of one [n2, n1] transpose instead of a second forward FFT.
+    """
+    n = x.shape[-1]
+    n1, n2 = ct_split(n)
+    y = x.reshape(*x.shape[:-1], n2, n1)
+    y = jnp.swapaxes(y, -1, -2)
+    return y.reshape(*x.shape[:-1], n)
+
+
 def _fft_rows_ct_kernel(
     xre_ref, xim_ref,
     w1re_ref, w1im_ref, w2re_ref, w2im_ref, twre_ref, twim_ref,
@@ -319,11 +353,7 @@ def _fft_rows_ct_kernel(
     transpose REMOVED — which is also what makes it compile for any
     n1 ≡ 0 (mod 128) regardless of n2.
     """
-    dot = functools.partial(
-        jax.lax.dot_general,
-        preferred_element_type=jnp.float32,
-        precision=_kernel_precision(),
-    )
+    dot = kernel_dot()
     dn = (((1,), (0,)), ((), ()))
 
     w1re, w1im = w1re_ref[:], w1im_ref[:]

@@ -85,11 +85,7 @@ def _gcc_pairs_kernel(
     check failure), so rows are sliced keepdim and outputs are 2-D.
     """
     m = len(pairs)
-    dot = functools.partial(
-        jax.lax.dot_general,
-        preferred_element_type=jnp.float32,
-        precision=fft_kernel._kernel_precision(),
-    )
+    dot = fft_kernel.kernel_dot()
     dn = (((1,), (0,)), ((), ()))
     n = n1 * n2
 

@@ -238,6 +238,43 @@ def gcc_fused_enabled(min_len: int, weighting: str) -> bool:
     return _GCC_FUSED == "on" or jax.default_backend() == "tpu"
 
 
+def receiver_spectra_ct(
+    sig_re: jnp.ndarray, sig_im: jnp.ndarray, *, max_lag: int
+) -> Tuple[jnp.ndarray, jnp.ndarray, int]:
+    """Padded per-receiver CT-order spectra for the fused GCC path.
+
+    Mirror of :func:`receiver_spectra_split` for the Pallas chain:
+    ``(fr, fi, nfft)`` with bins in Cooley-Tukey digit-permuted order
+    (`fft_kernel.fft_rows_ct`). Exposed separately so ONE forward
+    transform feeds both the fused pair stage and the peak detector
+    (via :func:`ct_power_db` — the detection FFT is otherwise a second
+    full pass over every receiver's block).
+    """
+    from radio_mapper_tpu.ops.pallas import fft_kernel, gcc_kernel
+
+    n = sig_re.shape[-1]
+    if max_lag >= n:
+        raise ValueError(f"max_lag {max_lag} must be < block length {n}")
+    nfft = gcc_kernel.plan_nfft(n + max_lag)
+    pad = lambda a: jnp.pad(a, [(0, 0)] * (a.ndim - 1) + [(0, nfft - n)])
+    fr, fi = fft_kernel.fft_rows_ct(pad(sig_re), pad(sig_im))
+    return fr, fi, nfft
+
+
+def ct_power_db(fr: jnp.ndarray, fi: jnp.ndarray) -> jnp.ndarray:
+    """Natural-bin-order power spectrum (dB) from CT-order split spectra.
+
+    One cheap [n2, n1] transpose of the REAL power array (not both
+    complex planes) un-permutes the bins; values match an nfft-point
+    zero-padded FFT's power spectrum, which preserves tone peak heights
+    and per-bin noise levels of the unpadded transform — detection
+    thresholds and SNR semantics carry over unchanged.
+    """
+    from radio_mapper_tpu.ops.pallas import fft_kernel
+
+    return 10.0 * jnp.log10(fft_kernel.ct_unpermute(fr * fr + fi * fi) + 1e-24)
+
+
 def gcc_phat_all_pairs_split_fused(
     sig_re: jnp.ndarray,
     sig_im: jnp.ndarray,
@@ -247,6 +284,7 @@ def gcc_phat_all_pairs_split_fused(
     weighting: str = "phat",
     eps: float = 0.05,
     psr_exclude: int = 8,
+    spectra: "Optional[Tuple[jnp.ndarray, jnp.ndarray, int]]" = None,
 ) -> CorrelationPeakSC:
     """All-pairs GCC with the whole pair stage fused in VMEM.
 
@@ -255,17 +293,20 @@ def gcc_phat_all_pairs_split_fused(
     the matmul path to the next 5-smooth length; both are alias-free for
     ±max_lag, so peaks match to sub-sample tolerance). Forward transforms
     run once per receiver in CT bin order — no natural-order transpose
-    ever materializes (see ops.pallas.fft_kernel).
+    ever materializes (see ops.pallas.fft_kernel). Pass ``spectra`` (from
+    :func:`receiver_spectra_ct`) to skip even those B transforms.
     """
-    from radio_mapper_tpu.ops.pallas import fft_kernel, gcc_kernel
+    from radio_mapper_tpu.ops.pallas import gcc_kernel
 
     n = sig_re.shape[-1]
     b = sig_re.shape[-2]
     if max_lag >= n:
         raise ValueError(f"max_lag {max_lag} must be < block length {n}")
-    nfft = gcc_kernel.plan_nfft(n + max_lag)
-    pad = lambda a: jnp.pad(a, [(0, 0)] * (a.ndim - 1) + [(0, nfft - n)])
-    fr, fi = fft_kernel.fft_rows_ct(pad(sig_re), pad(sig_im))
+    fr, fi, nfft = (
+        spectra
+        if spectra is not None
+        else receiver_spectra_ct(sig_re, sig_im, max_lag=max_lag)
+    )
     i_idx, j_idx = gcc.pair_indices(b)
     mags = gcc_kernel.gcc_pair_lag_mags(
         fr, fi, i_idx, j_idx, max_lag=max_lag, eps=eps, weighting=weighting

@@ -42,6 +42,59 @@ def test_ct_split_prefers_balanced_lane_aligned():
     assert n % 1024 == 0 and fft_kernel.ct_split(n)[1] % 8 == 0
 
 
+def test_ct_unpermute_recovers_natural_order():
+    n = 2176
+    rng = np.random.default_rng(3)
+    x = rng.normal(size=(2, 3, n)) + 1j * rng.normal(size=(2, 3, n))
+    fr, fi = fft_kernel.fft_rows_ct(
+        jnp.asarray(x.real, jnp.float32), jnp.asarray(x.imag, jnp.float32),
+        interpret=True,
+    )
+    nat = np.asarray(fft_kernel.ct_unpermute(fr)) + 1j * np.asarray(
+        fft_kernel.ct_unpermute(fi)
+    )
+    want = np.fft.fft(x)
+    np.testing.assert_allclose(nat, want, rtol=1e-3, atol=1e-2 * np.abs(want).max())
+
+
+def test_ct_power_db_matches_padded_fft_power():
+    """Detection spectrum derived from CT spectra == zero-padded FFT power
+    in natural bin order (tone peak height preserved by padding)."""
+    n, max_lag = 4096, 256
+    fs = 2.048e6
+    t = np.arange(n) / fs
+    tone = 0.5 * np.exp(2j * np.pi * 250e3 * t)
+    rng = np.random.default_rng(4)
+    x = (tone + 0.01 * (rng.normal(size=n) + 1j * rng.normal(size=n)))[None, :]
+    fr, fi, nfft = sc_ops.receiver_spectra_ct(
+        jnp.asarray(x.real, jnp.float32), jnp.asarray(x.imag, jnp.float32),
+        max_lag=max_lag,
+    )
+    got = np.asarray(sc_ops.ct_power_db(fr, fi))
+    xp = np.pad(x, [(0, 0), (0, nfft - n)])
+    want = 10 * np.log10(np.abs(np.fft.fft(xp)) ** 2 + 1e-24)
+    assert got.shape == want.shape
+    # dB tolerance loose in the noise floor, tight at the peak.
+    assert abs(got.max() - want.max()) < 0.1
+    assert np.argmax(got[0]) == np.argmax(want[0])
+    # Peak height ≈ the UNPADDED transform's too (zero-padding preserves it).
+    want_unpadded = 10 * np.log10(np.abs(np.fft.fft(x)) ** 2 + 1e-24)
+    assert abs(got.max() - want_unpadded.max()) < 0.2
+
+
+def test_kernel_dot_bf16x3_accuracy():
+    """The 3-pass bf16 dot stays ~1e-5 relative of a float64 matmul —
+    the explicit form of XLA Precision.HIGH, CPU-verifiable."""
+    rng = np.random.default_rng(5)
+    a = rng.normal(size=(64, 256)).astype(np.float32)
+    b = rng.normal(size=(256, 128)).astype(np.float32)
+    dn = (((1,), (0,)), ((), ()))
+    got = np.asarray(fft_kernel._dot_bf16x3(jnp.asarray(a), jnp.asarray(b), dn))
+    want = a.astype(np.float64) @ b.astype(np.float64)
+    rel = np.abs(got - want).max() / np.abs(want).max()
+    assert rel < 5e-5, rel
+
+
 def _golden_window(x, max_lag, eps, weighting="phat"):
     """float64 whiten+ifft+window at the signals' own length (no pad)."""
     nfft = x.shape[-1]
@@ -167,3 +220,16 @@ def test_pipeline_step_split_fused_matches_unfused():
         np.asarray(base.fix.position_enu),
         atol=5.0,
     )
+    # Detection parity: the fused path's detector runs on the shared
+    # CT-spectra power (padded nfft bins) instead of its own N-point FFT.
+    # A wideband emitter's PSD is a plateau, so the exact winning bin is
+    # not stable between the two resolutions — assert instead that both
+    # paths detect, and that every fused top peak lands inside the
+    # emitter's occupied band (±bw/2) like the unfused one.
+    df = scen.sample_rate_hz / 4096
+    assert np.array_equal(
+        np.asarray(fused.peaks.valid[..., 0]), np.asarray(base.peaks.valid[..., 0])
+    )
+    half_bw = scen.emitters[0].bandwidth_hz / 2 + df
+    for f_hz in np.asarray(fused.peaks.freq_offset_hz[..., 0]).ravel():
+        assert abs(f_hz) <= half_bw, f_hz
