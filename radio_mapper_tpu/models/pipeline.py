@@ -51,6 +51,10 @@ class PipelineConfig:
     solve_2d: bool = True
     solver_iterations: int = 40
     solver_starts: int = 1  # >1 enables multi-start
+    # Median noise floor from every S-th bin: statistically identical for
+    # noise (≳2k bins remain at flagship sizes, ≲0.1 dB shift) and cuts
+    # the bisection's HBM traffic S× — the detect stage is memory-bound.
+    noise_floor_stride: int = 8
     # Pair weight = min(conf_i, conf_j) · clip((psr − psr_floor)/psr_scale)
     psr_floor: float = 1.2
     psr_scale: float = 2.0
@@ -94,6 +98,7 @@ class TDOAPipeline:
             max_peaks=c.max_peaks,
             power_offset_db=c.power_offset_db,
             threshold_db=c.detection_threshold_db,
+            noise_floor_stride=c.noise_floor_stride,
         )
 
     def correlate(self, iq: jnp.ndarray) -> gcc_ops.CorrelationPeak:
@@ -213,6 +218,7 @@ class TDOAPipeline:
             sample_rate_hz=c.sample_rate_hz,
             max_peaks=c.max_peaks,
             threshold_db=c.detection_threshold_db,
+            noise_floor_stride=c.noise_floor_stride,
         )
         if use_fused:
             # Whole pair stage (whiten × iFFT × lag slice) fused in VMEM —

@@ -68,11 +68,24 @@ def detect_peaks(
     dc_notch_hz: Optional[float] = constants.DEFAULT_DC_NOTCH_HZ,
     confidence_floor: float = constants.DEFAULT_CONFIDENCE_FLOOR,
     snr_fullscale_db: float = constants.DEFAULT_SNR_FULLSCALE_DB,
+    noise_floor_stride: int = 1,
 ) -> PeakSet:
     """Find the top-K spectral peaks per batch element.
 
+    Everything after the top-K selection is gather-free by construction:
+    SNR and confidence at a peak are arithmetic in (top value − floor),
+    and the FFT bin→frequency map is arithmetic in the bin index
+    (``fftfreq``), so no per-peak ``take_along_axis``/one-hot pass over
+    the F-length arrays is ever needed — the selection itself is the only
+    op that touches the full spectrum.
+
     Args:
       power_db: ``[..., F]`` power spectra in dB, un-shifted bin order.
+      noise_floor_stride: estimate the median noise floor from every
+        S-th bin instead of all F. Noise bins are exchangeable, so a
+        stride-S subsample (still thousands of bins at flagship sizes)
+        moves the estimate by ≲0.1 dB while cutting the bisection's HBM
+        traffic S×. 1 = exact reference semantics.
     Returns:
       :class:`PeakSet` with ``[..., max_peaks]`` fields sorted by power
       (descending); invalid slots are masked out and zero-filled.
@@ -80,8 +93,11 @@ def detect_peaks(
     f = power_db.shape[-1]
     freqs = fft_frequencies_hz(f, sample_rate_hz)  # static numpy
 
+    nf_src = (
+        power_db[..., ::noise_floor_stride] if noise_floor_stride > 1 else power_db
+    )
     noise_floor = (
-        safe.median_bisect(power_db) if safe.enabled() else jnp.median(power_db, axis=-1)
+        safe.median_bisect(nf_src) if safe.enabled() else jnp.median(nf_src, axis=-1)
     )
 
     candidate = sliding_local_max(power_db, min_distance_bins)
@@ -90,25 +106,26 @@ def detect_peaks(
         notch = np.abs(freqs) >= dc_notch_hz  # static mask (buoy_node.py:423)
         candidate = jnp.logical_and(candidate, jnp.asarray(notch))
 
-    snr_db = power_db - noise_floor[..., None]
-    confidence = jnp.clip(snr_db / snr_fullscale_db, 0.0, 1.0)
-    candidate = jnp.logical_and(candidate, confidence >= confidence_floor)
+    # Confidence gate without materializing per-bin SNR/confidence arrays:
+    # clip(snr/S, 0, 1) ≥ floor ⇔ snr ≥ floor·S for floor in (0, 1].
+    candidate = jnp.logical_and(
+        candidate,
+        power_db - noise_floor[..., None] >= confidence_floor * snr_fullscale_db,
+    )
 
     score = jnp.where(candidate, power_db, -jnp.inf)
     if safe.enabled():
         top_vals, top_idx = safe.top_k(score, max_peaks)
-        peak_snr = safe.take_many_last(snr_db, top_idx)
-        peak_conf = safe.take_many_last(confidence, top_idx)
-        freq_table = jnp.broadcast_to(
-            jnp.asarray(freqs, jnp.float32), power_db.shape
-        )
-        peak_freq = safe.take_many_last(freq_table, top_idx)
     else:
         top_vals, top_idx = jax.lax.top_k(score, max_peaks)
-        peak_snr = jnp.take_along_axis(snr_db, top_idx, axis=-1)
-        peak_conf = jnp.take_along_axis(confidence, top_idx, axis=-1)
-        peak_freq = jnp.asarray(freqs, jnp.float32)[top_idx]
     valid = jnp.isfinite(top_vals)
+    peak_snr = top_vals - noise_floor[..., None]
+    peak_conf = jnp.clip(peak_snr / snr_fullscale_db, 0.0, 1.0)
+    # fftfreq arithmetically: bins ≤ (F−1)//2 are positive, the rest wrap.
+    kf = top_idx.astype(jnp.float32)
+    peak_freq = jnp.where(top_idx <= (f - 1) // 2, kf, kf - f) * jnp.float32(
+        sample_rate_hz / f
+    )
 
     zero = jnp.zeros_like(peak_snr)
     return PeakSet(

@@ -131,3 +131,50 @@ def test_bandwidth_estimate():
         )
     )
     assert 25e3 < bw < 100e3, bw
+
+
+def test_peak_fields_match_explicit_gathers():
+    """The gather-free peak fields (snr/conf/freq from top-k values and
+    arithmetic on indices) equal what explicit take_along_axis over the
+    full per-bin arrays would return, in both safe modes."""
+    from radio_mapper_tpu.ops import safe
+
+    iq = _make_iq([150e3, -400e3, 620e3], [0.5, 0.2, 0.1], seed=3)
+    p = np.asarray(spectral.power_spectrum_db(jnp.asarray(iq, jnp.complex64)))
+    f = p.shape[-1]
+    freqs = spectral.fft_frequencies_hz(f, FS)
+    for mode in (False, True):
+        safe.set_safe_mode(mode)
+        try:
+            peaks = detect.detect_peaks(jnp.asarray(p), sample_rate_hz=FS)
+        finally:
+            safe.set_safe_mode(None)
+        idx = np.asarray(peaks.bin_index)
+        valid = np.asarray(peaks.valid)
+        floor = float(np.asarray(peaks.noise_floor_db))
+        want_snr = p[idx] - floor
+        want_conf = np.clip(want_snr / 20.0, 0.0, 1.0)
+        want_freq = freqs[idx].astype(np.float32)
+        np.testing.assert_allclose(
+            np.asarray(peaks.snr_db)[valid], want_snr[valid], atol=1e-3
+        )
+        np.testing.assert_allclose(
+            np.asarray(peaks.confidence)[valid], want_conf[valid], atol=1e-4
+        )
+        np.testing.assert_allclose(
+            np.asarray(peaks.freq_offset_hz)[valid], want_freq[valid], rtol=1e-6
+        )
+
+
+def test_noise_floor_stride_close_to_exact():
+    iq = _make_iq([150e3], [0.5], seed=4)
+    p = jnp.asarray(
+        np.asarray(spectral.power_spectrum_db(jnp.asarray(iq, jnp.complex64)))
+    )
+    exact = detect.detect_peaks(p, sample_rate_hz=FS)
+    strided = detect.detect_peaks(p, sample_rate_hz=FS, noise_floor_stride=8)
+    assert abs(
+        float(np.asarray(exact.noise_floor_db))
+        - float(np.asarray(strided.noise_floor_db))
+    ) < 0.2
+    assert np.array_equal(np.asarray(exact.bin_index), np.asarray(strided.bin_index))
