@@ -115,7 +115,14 @@ def detect_peaks(
 
     score = jnp.where(candidate, power_db, -jnp.inf)
     if safe.enabled():
-        top_vals, top_idx = safe.top_k(score, max_peaks)
+        # Candidates are > min_distance apart (sliding-local-max), so the
+        # segmented two-stage top-k is exact and ~7× cheaper in HBM
+        # traffic than the flat masked-argmax iteration.
+        seg = 8
+        if f % seg == 0 and min_distance_bins + 1 >= seg:
+            top_vals, top_idx = safe.top_k_segmented(score, max_peaks, seg)
+        else:
+            top_vals, top_idx = safe.top_k(score, max_peaks)
     else:
         top_vals, top_idx = jax.lax.top_k(score, max_peaks)
     valid = jnp.isfinite(top_vals)

@@ -152,3 +152,36 @@ def top_k(x: jnp.ndarray, k: int) -> Tuple[jnp.ndarray, jnp.ndarray]:
         idxs.append(i)
         work = jnp.where(iota == i[..., None], neg_inf, work)
     return jnp.stack(vals, axis=-1), jnp.stack(idxs, axis=-1)
+
+
+def top_k_segmented(
+    x: jnp.ndarray, k: int, segment: int
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Two-stage top-k for inputs with ≥ ``segment`` spacing between
+    distinct-valued maxima (e.g. sliding-local-max peak candidates, which
+    are > radius apart unless exactly equal).
+
+    Stage 1 reduces each length-``segment`` block to its (max, argmax) in
+    ~2 passes over the array; stage 2 runs the k-iteration masked argmax
+    over the F/segment block maxima — a 2·F + k·3·F/segment footprint vs
+    plain :func:`top_k`'s k·3·F. At the flagship F=17408, k=8, segment=8
+    that is ~7× less HBM traffic for the detect stage's dominant op.
+
+    Exactness: at most one candidate per block can hold the block max, so
+    results equal :func:`top_k` whenever true peaks are ≥ ``segment``
+    apart; two EXACTLY-equal candidates inside one block collapse to the
+    lower index (stock tie-break keeps both — a measure-zero divergence
+    for continuous spectra). Tie-breaks otherwise match (lowest index).
+    """
+    *b, n = x.shape
+    if n % segment != 0:
+        raise ValueError(f"length {n} not divisible by segment {segment}")
+    xs = x.reshape(*b, n // segment, segment)
+    seg_max = jnp.max(xs, axis=-1)  # [..., n/segment]
+    idx = jax.lax.broadcasted_iota(jnp.int32, xs.shape, xs.ndim - 1)
+    seg_arg = jnp.min(
+        jnp.where(xs >= seg_max[..., None], idx, segment), axis=-1
+    )  # lowest in-block index holding the max
+    vals, seg_sel = top_k(seg_max, k)
+    offs = take_many_last(seg_arg, seg_sel)
+    return vals, seg_sel * segment + offs

@@ -155,3 +155,28 @@ def test_pair_select_matches_take():
     gotc = safe.pair_select(xc, idxc, axis=-2)
     wantc = jnp.take(xc, idxc, axis=-2)
     assert np.array_equal(np.asarray(gotc), np.asarray(wantc))
+
+
+def test_top_k_segmented_matches_flat_on_separated_candidates():
+    """With candidates ≥ segment apart (the sliding-local-max guarantee),
+    segmented and flat top-k agree exactly, including tie-breaks and
+    all-(-inf) rows."""
+    import numpy as np
+    import jax.numpy as jnp
+    from radio_mapper_tpu.ops import safe
+
+    rng = np.random.default_rng(11)
+    n, seg, k = 1024, 8, 8
+    score = np.full((5, n), -np.inf, dtype=np.float32)
+    for r in range(5):
+        # 12 candidates at ≥ 9-bin spacing with distinct values.
+        pos = np.sort(rng.choice(np.arange(0, n // 9), size=12, replace=False)) * 9
+        score[r, pos] = rng.permutation(12).astype(np.float32) - 60.0
+    score[4, :] = -np.inf  # a row with no candidates at all
+    fv, fi = safe.top_k(jnp.asarray(score), k)
+    sv, si = safe.top_k_segmented(jnp.asarray(score), k, seg)
+    np.testing.assert_array_equal(np.asarray(fv), np.asarray(sv))
+    finite = np.isfinite(np.asarray(fv))
+    np.testing.assert_array_equal(
+        np.asarray(fi)[finite], np.asarray(si)[finite]
+    )
