@@ -1,15 +1,21 @@
 """Safe-mode primitives: sort-, gather- and argmax-free reductions.
 
-The target TPU runtime implements a subset of XLA reliably (elementwise
-f32, matmuls, plain reductions) while richer ops (variadic sort, top-k,
-gather) are unproven. These equivalents use only comparisons, reductions,
-`jnp.roll` and iota — and several are *faster* than the originals on TPU
-(a 20-step bisection median is far cheaper than sorting 16384 floats; a
-one-hot matmul gather rides the MXU).
+These equivalents use only comparisons, reductions, `jnp.roll` and iota.
+The round-2 on-chip probe campaign (docs/PROBES.md) established that the
+stock ops they replace (sort/argsort/top_k/gather/median/reduce_window)
+are all *correct* on the target runtime — so this module is a measured
+performance choice, not a correctness shield: specific stock gather
+shapes run pathologically slow there (a [32, 8] → [32, 28] `jnp.take`
+pair expansion measured ~6 ms, dominating the step), the sort-family's
+standalone remote AOT compiles ran minutes, and the safe formulations
+stay in the elementwise/matmul fast path (one-hot contractions ride the
+MXU; the segmented top-k needs ~2 passes over the array). The measured
+stock-vs-safe detector gap is ~0.1 ms on a ~9 ms flagship step.
 
 Selection: each consumer calls :func:`enabled` — by default safe mode is
 on when the backend is TPU and off elsewhere (CPU keeps exact stock XLA
-ops). Numerics: median is bisected to ~1e-4 of the value range (well under
+ops); `set_safe_mode(False)` opts into stock ops (verified correct).
+Numerics: median is bisected to ~1e-4 of the value range (well under
 detection tolerances); everything else is exact, with stock tie-breaking
 (lowest index wins).
 """
