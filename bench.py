@@ -14,9 +14,11 @@ with its share of the pod-scale target, with the full detection +
 correlation + solve stack running, not just the FFTs.
 
 Methodology (replaces round 1's best-of-two, per VERDICT r1 §weak-1):
-- every timing is the MEDIAN over ``iters`` steps, measured in two separate
-  epochs; the reported value is the better epoch and the spread between
-  epochs is printed to stderr as a variance check;
+- every timing is an epoch of ``iters`` CHAINED dispatches closed by ONE
+  derived-scalar host fetch, elapsed/iters (block_until_ready does not
+  span remote execution on this backend and per-call sync pays a ~20 ms
+  tunnel RTT — docs/PROBES.md); two epochs per config, the better is
+  reported and the spread printed to stderr as a variance check;
 - ``mfu`` = achieved FLOP/s ÷ the chip's peak (XLA's own per-program
   cost_analysis supplies the FLOP count; analytic DFT-matmul count is the
   fallback). This is the framework's analog of the reference's only perf
@@ -31,7 +33,6 @@ samples every ~2 s ≈ 8 kS/s — `buoy_node.py:364,220`.)
 from __future__ import annotations
 
 import json
-import statistics
 import sys
 import time
 
@@ -68,20 +69,38 @@ def _build(num_channels, num_buoys, block_len, sample_rate_hz, max_lag):
     )
 
 
-def _median_time(step, args, *, iters: int, warmup: int = 2) -> float:
-    """Median per-step wall time over ``iters`` individually-timed steps."""
-    import jax
+def _force(out) -> float:
+    """Force completion of ``out`` by fetching a derived scalar to host.
 
-    for _ in range(warmup):
+    `jax.block_until_ready` is NOT trustworthy on the remote TPU backend:
+    it returned in ~0.04 ms for a ~40 GFLOP program whose true latency
+    (measured by value fetch) was ~29 ms (docs/PROBES.md). A tiny
+    device-side reduction + host fetch is the only reliable barrier.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    leaf = jax.tree_util.tree_leaves(out)[0]
+    return float(np.asarray(jnp.sum(leaf.astype(jnp.float32))))
+
+
+def _median_time(step, args, *, iters: int, warmup: int = 2) -> float:
+    """Per-step wall time: ``iters`` chained dispatches + ONE trailing
+    host fetch, elapsed/iters.
+
+    Per-call synchronization through the tunnel costs a ~20 ms RTT that
+    would swamp a ~8 ms step; chaining amortizes one RTT across the whole
+    epoch (bias ≈ RTT/iters). Executions serialize on the device, so
+    elapsed/iters is the honest steady-state throughput.
+    """
+    for _ in range(max(warmup, 1)):
         out = step(*args)
-    jax.block_until_ready(out)
-    times = []
+    _force(out)
+    t0 = time.perf_counter()
     for _ in range(iters):
-        t0 = time.perf_counter()
         out = step(*args)
-        jax.block_until_ready(out)
-        times.append(time.perf_counter() - t0)
-    return statistics.median(times)
+    _force(out)
+    return (time.perf_counter() - t0) / iters
 
 
 def _program_flops(step, args) -> float:
@@ -261,7 +280,7 @@ def main():
         samples = ch * 8 * 16_384
         epochs = []
         for epoch in range(2):
-            step_s = _median_time(step, args, iters=10, warmup=1)
+            step_s = _median_time(step, args, iters=30, warmup=1)
             epochs.append((samples / step_s, step_s))
         rate, step_s = max(epochs)
         spread = abs(epochs[0][0] - epochs[1][0]) / rate

@@ -32,15 +32,30 @@ def main():
     nfft = gcc_kernel.plan_nfft(n + max_lag)
     i_idx, j_idx = pair_indices(b)
     rng = np.random.default_rng(0)
-    re = jax.device_put(rng.normal(size=(ch, b, n)).astype(np.float32))
-    im = jax.device_put(rng.normal(size=(ch, b, n)).astype(np.float32))
+    # Distinct input sets per iteration: repeated calls on IDENTICAL
+    # device buffers measured ~0.04 ms for ~40 GFLOP of work (impossible)
+    # — the remote runtime appears to short-circuit repeated pure
+    # executions, so every timed call must see fresh data.
+    inputs = [
+        (
+            jax.device_put(rng.normal(size=(ch, b, n)).astype(np.float32)),
+            jax.device_put(rng.normal(size=(ch, b, n)).astype(np.float32)),
+        )
+        for _ in range(3)
+    ]
+    re, im = inputs[0]
 
     def chain(re_, im_, *, rows, chunk):
         pad = lambda a: jnp.pad(a, [(0, 0)] * (a.ndim - 1) + [(0, nfft - n)])
         fr, fi = fft_kernel.fft_rows_ct(pad(re_), pad(im_), rows_per_block=rows)
-        return gcc_kernel.gcc_pair_lag_mags(
+        mags = gcc_kernel.gcc_pair_lag_mags(
             fr, fi, i_idx, j_idx, max_lag=max_lag, pair_chunk=chunk
         )
+        # Reduce to a scalar so the timed program cannot complete without
+        # every kernel finishing (a large pure output array measured
+        # implausibly fast — ~1500 TFLOP/s — through this remote backend's
+        # block_until_ready; a data-dependent scalar defeats that).
+        return jnp.sum(mags)
 
     steps = {}
     for rows, chunk in CONFIGS:
@@ -56,10 +71,12 @@ def main():
     for _ in range(6):
         for k, f in steps.items():
             t0 = time.perf_counter()
-            for _ in range(5):
-                out = f(re, im)
-            jax.block_until_ready(out)
-            times[k].append((time.perf_counter() - t0) / 5)
+            # np.asarray: block_until_ready alone returned in ~0.04 ms for
+            # ~40 GFLOP of work on this backend — only a host fetch of the
+            # result reliably spans the remote execution.
+            vals = [float(np.asarray(f(*inp))) for inp in inputs]
+            times[k].append((time.perf_counter() - t0) / len(inputs))
+            del vals
 
     med = {k: float(np.median(ts)) for k, ts in times.items()}
     result = {f"{k}_ms": round(v * 1e3, 3) for k, v in med.items()}
