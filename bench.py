@@ -104,9 +104,19 @@ def _median_time(step, args, *, iters: int, warmup: int = 2) -> float:
 
 
 def _program_flops(step, args) -> float:
-    """FLOPs per step from XLA's cost analysis (0.0 if unavailable)."""
+    """FLOPs per step from XLA's cost analysis (0.0 if unavailable).
+
+    Skipped on TPU unless BENCH_COST_ANALYSIS=1: the AOT lower+compile
+    here is a SECOND full remote compile (minutes each on the compile
+    lottery, docs/PROBES.md) and its figure under-reports ~35× on the
+    remote path, so the analytic floor always wins anyway.
+    """
+    import os
+
     import jax
 
+    if jax.default_backend() == "tpu" and not os.environ.get("BENCH_COST_ANALYSIS"):
+        return 0.0
     try:
         compiled = jax.jit(step).lower(*args).compile()
         analysis = compiled.cost_analysis()
