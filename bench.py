@@ -211,7 +211,7 @@ def run_pipeline_bench(
     return rate, name, step_s, flops
 
 
-def run_fft_microbench(*, rows: int = 256, n: int = 16_384, iters: int = 10) -> float:
+def run_fft_microbench(*, rows: int = 256, n: int = 16_384, iters: int = 50) -> float:
     """Forward split-complex FFT throughput (complex samples/s)."""
     import jax
 
@@ -227,7 +227,7 @@ def run_fft_microbench(*, rows: int = 256, n: int = 16_384, iters: int = 10) -> 
 
 def run_gcc_microbench(
     *, channels: int = 32, num_buoys: int = 8, n: int = 16_384, max_lag: int = 512,
-    iters: int = 10,
+    iters: int = 50,
 ) -> float:
     """All-pairs GCC-PHAT throughput (pair correlations/s)."""
     import functools

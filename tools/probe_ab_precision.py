@@ -39,11 +39,11 @@ def main():
     # receiver noise) so the τ parity number is a real sub-sample
     # comparison instead of a whitened-noise argmax lottery.
     rng = np.random.default_rng(7)
-    base = rng.normal(size=(ch, 1, 16_384 + 64)).astype(np.float32)
-    basei = rng.normal(size=(ch, 1, 16_384 + 64)).astype(np.float32)
+    base = rng.normal(size=(ch, 1, 16_384 + 128)).astype(np.float32)
+    basei = rng.normal(size=(ch, 1, 16_384 + 128)).astype(np.float32)
     delays = np.arange(8) * 5
-    re_np = np.stack([base[:, 0, 32 + d : 32 + 16_384 + d] for d in delays], axis=1)
-    im_np = np.stack([basei[:, 0, 32 + d : 32 + 16_384 + d] for d in delays], axis=1)
+    re_np = np.stack([base[:, 0, 48 + d : 48 + 16_384 + d] for d in delays], axis=1)
+    im_np = np.stack([basei[:, 0, 48 + d : 48 + 16_384 + d] for d in delays], axis=1)
     re_np += 0.05 * rng.normal(size=re_np.shape).astype(np.float32)
     im_np += 0.05 * rng.normal(size=im_np.shape).astype(np.float32)
     args = jax.device_put((re_np.astype(np.float32), im_np.astype(np.float32), anchors))
