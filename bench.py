@@ -69,37 +69,45 @@ def _build(num_channels, num_buoys, block_len, sample_rate_hz, max_lag):
     )
 
 
-def _force(out) -> float:
-    """Force completion of ``out`` by fetching a derived scalar to host.
+def _force(outs) -> float:
+    """Force completion of every output in ``outs`` via ONE host fetch.
 
     `jax.block_until_ready` is NOT trustworthy on the remote TPU backend:
     it returned in ~0.04 ms for a ~40 GFLOP program whose true latency
-    (measured by value fetch) was ~29 ms (docs/PROBES.md). A tiny
-    device-side reduction + host fetch is the only reliable barrier.
+    (measured by value fetch) was ~29 ms (docs/PROBES.md). The fetched
+    scalar is derived from EVERY output (tiny on-device reductions +
+    adds), so no dispatched execution can be elided as dead code — the
+    single materialized value depends on all of them.
     """
     import jax
     import jax.numpy as jnp
 
-    leaf = jax.tree_util.tree_leaves(out)[0]
-    return float(np.asarray(jnp.sum(leaf.astype(jnp.float32))))
+    if not isinstance(outs, (list, tuple)):
+        outs = [outs]
+    total = None
+    for out in outs:
+        leaf = jax.tree_util.tree_leaves(out)[0]
+        s = jnp.sum(leaf.astype(jnp.float32))
+        total = s if total is None else total + s
+    return float(np.asarray(total))
 
 
-def _median_time(step, args, *, iters: int, warmup: int = 2) -> float:
-    """Per-step wall time: ``iters`` chained dispatches + ONE trailing
-    host fetch, elapsed/iters.
+def _epoch_time(step, args, *, iters: int, warmup: int = 2) -> float:
+    """Per-step wall time: ``iters`` dispatches + ONE trailing host fetch
+    of a scalar depending on all outputs, elapsed/iters.
 
     Per-call synchronization through the tunnel costs a ~20 ms RTT that
-    would swamp a ~8 ms step; chaining amortizes one RTT across the whole
-    epoch (bias ≈ RTT/iters). Executions serialize on the device, so
-    elapsed/iters is the honest steady-state throughput.
+    would swamp a ~8 ms step; the single all-consuming fetch amortizes
+    one RTT across the whole epoch (bias ≈ RTT/iters). Executions
+    serialize on the device, so elapsed/iters is the honest steady-state
+    throughput.
     """
     for _ in range(max(warmup, 1)):
         out = step(*args)
     _force(out)
     t0 = time.perf_counter()
-    for _ in range(iters):
-        out = step(*args)
-    _force(out)
+    outs = [step(*args) for _ in range(iters)]
+    _force(outs)
     return (time.perf_counter() - t0) / iters
 
 
@@ -178,7 +186,7 @@ def build_pipeline_step(
             args = jax.device_put(args)
             t0 = time.perf_counter()
             out = step(*args)
-            jax.block_until_ready(out)
+            _force(out)  # block_until_ready may return before execution
             _log(f"path {name!r}: compile+first {time.perf_counter()-t0:.1f}s")
             flops = _program_flops(raw_fn, args)
             # XLA's cost_analysis under-reports on some AOT backends
@@ -206,7 +214,7 @@ def run_pipeline_bench(
     name, step, args, flops = build_pipeline_step(
         num_channels=num_channels, **kwargs
     )
-    step_s = _median_time(step, args, iters=iters, warmup=0)
+    step_s = _epoch_time(step, args, iters=iters, warmup=0)
     rate = num_channels * num_buoys * block_len / step_s
     return rate, name, step_s, flops
 
@@ -221,7 +229,7 @@ def run_fft_microbench(*, rows: int = 256, n: int = 16_384, iters: int = 50) -> 
     re = jax.device_put(rng.normal(size=(rows, n)).astype(np.float32))
     im = jax.device_put(rng.normal(size=(rows, n)).astype(np.float32))
     step = jax.jit(fft_ops.fft_re_im)
-    dt = _median_time(step, (re, im), iters=iters)
+    dt = _epoch_time(step, (re, im), iters=iters)
     return rows * n / dt
 
 
@@ -249,7 +257,7 @@ def run_gcc_microbench(
     step = jax.jit(
         functools.partial(fn, sample_rate_hz=2_400_000.0, max_lag=max_lag)
     )
-    dt = _median_time(step, (re, im), iters=iters)
+    dt = _epoch_time(step, (re, im), iters=iters)
     pairs = num_buoys * (num_buoys - 1) // 2
     return channels * pairs / dt
 
@@ -273,13 +281,12 @@ def main():
         _log(f"GCC fused routing forced: {mode}")
 
     # Channel-count sweep: the per-program latency floor of remote TPU
-    # runtimes (~3 ms) is amortized differently at different batch sizes.
-    # Two epochs per config; median-of-iters within an epoch. 64 channels
-    # probes the latency-amortized regime (per-step FLOPs say the compute
-    # floor is ~1-2 ms; bigger batches dilute the dispatch overhead).
-    # (16 dropped: with the dispatch floor amortized at 32/64 it never
-    # wins, and every config costs a multi-minute remote compile. The
-    # program compiles ONCE per config; both timing epochs reuse it.)
+    # runtimes is amortized differently at different batch sizes. Two
+    # fetch-closed epochs per config (elapsed/iters each); the better is
+    # reported, the spread logged. (16 dropped: with the dispatch floor
+    # amortized at 32/64 it never wins, and every config costs a
+    # multi-minute remote compile. The program compiles ONCE per config;
+    # both timing epochs reuse it.)
     # 128 probes further along the amortization curve: 64 ch halved the
     # per-sample cost vs 32 (7.06 vs 11.6 ms/step — the step carries a
     # multi-ms dispatch+RTT floor), so bigger batches keep winning until
@@ -297,7 +304,7 @@ def main():
             # warmup=3: the first fetch-closed epoch after a fresh remote
             # compile still measured ~65% slow with warmup=1 (service-side
             # warm-up effects persist past the first execution).
-            step_s = _median_time(step, args, iters=30, warmup=3)
+            step_s = _epoch_time(step, args, iters=30, warmup=3)
             epochs.append((samples / step_s, step_s))
         rate, step_s = max(epochs)
         spread = abs(epochs[0][0] - epochs[1][0]) / rate

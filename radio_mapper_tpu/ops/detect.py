@@ -108,16 +108,27 @@ def detect_peaks(
 
     # Confidence gate without materializing per-bin SNR/confidence arrays:
     # clip(snr/S, 0, 1) ≥ floor ⇔ snr ≥ floor·S for floor in (0, 1].
-    candidate = jnp.logical_and(
-        candidate,
-        power_db - noise_floor[..., None] >= confidence_floor * snr_fullscale_db,
-    )
+    # floor ≤ 0 previously always passed (clip's lower bound is 0), so it
+    # disables the gate; floor > 1 previously always failed.
+    if confidence_floor > 1.0:
+        candidate = jnp.zeros_like(candidate)
+    elif confidence_floor > 0.0:
+        candidate = jnp.logical_and(
+            candidate,
+            power_db - noise_floor[..., None]
+            >= confidence_floor * snr_fullscale_db,
+        )
 
     score = jnp.where(candidate, power_db, -jnp.inf)
     if safe.enabled():
         # Candidates are > min_distance apart (sliding-local-max), so the
         # segmented two-stage top-k is exact and ~7× cheaper in HBM
-        # traffic than the flat masked-argmax iteration.
+        # traffic than the flat masked-argmax iteration. EXACTLY-equal
+        # candidates closer than min_distance (e.g. the mirrored pair of
+        # a real-valued input's conjugate-symmetric spectrum) collapse to
+        # one — which matches the reference's find_peaks(distance=10)
+        # minimum-spacing contract; the flat/stock top_k would return
+        # both, violating it.
         seg = 8
         if f % seg == 0 and min_distance_bins + 1 >= seg:
             top_vals, top_idx = safe.top_k_segmented(score, max_peaks, seg)

@@ -404,16 +404,18 @@ def fft_rows_ct(
     :func:`ifft_rows_ct_numpy` — NOT with natural-order consumers.
 
     ``rows_per_block=None`` picks 16 rows for flagship-sized transforms
-    (≤ 32768) and 8 beyond: 16 halves the grid-cell count and doubles the
-    DFT matmuls' free dimension, measured ~7% faster on-chip at 17408
-    (tools/probe_ab_tiles.py), while longer transforms stay at 8 to bound
-    the VMEM working set.
+    and 8 beyond: 16 halves the grid-cell count and doubles the DFT
+    matmuls' free dimension, measured ~7% faster on-chip at n=17408
+    (tools/probe_ab_tiles.py). The cutoff stays near the measured point
+    (≤ 24576 ≈ 1.5 MB/row-block per plane) rather than extending to an
+    unverified VMEM regime — at 32768 the 16-row working set (I/O plus
+    intermediates) approaches the per-core VMEM budget.
     """
     if re.shape != im.shape:
         raise ValueError("re/im shape mismatch")
     n = re.shape[-1]
     if rows_per_block is None:
-        rows_per_block = 16 if n <= 32_768 else 8
+        rows_per_block = 16 if n <= 24_576 else 8
     n1, n2, w1re, w1im, w2re, w2im, twre, twim = ct_constants(n)
     if interpret is None:
         interpret = jax.default_backend() != "tpu"

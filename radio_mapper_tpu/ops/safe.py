@@ -176,8 +176,12 @@ def top_k_segmented(
     Exactness: at most one candidate per block can hold the block max, so
     results equal :func:`top_k` whenever true peaks are ≥ ``segment``
     apart; two EXACTLY-equal candidates inside one block collapse to the
-    lower index (stock tie-break keeps both — a measure-zero divergence
-    for continuous spectra). Tie-breaks otherwise match (lowest index).
+    lower index where the stock tie-break keeps both. That case is not
+    just measure-zero noise — a real-valued input's conjugate-symmetric
+    spectrum puts bit-equal mirrored peaks near Nyquist arbitrarily close
+    — but collapsing them honors the caller's minimum-spacing contract
+    (find_peaks(distance=…) semantics) where keeping both would violate
+    it. Tie-breaks otherwise match (lowest index).
     """
     *b, n = x.shape
     if n % segment != 0:

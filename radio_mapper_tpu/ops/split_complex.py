@@ -167,6 +167,11 @@ def gcc_phat_all_pairs_split(
         if spectra is not None
         else receiver_spectra_split(sig_re, sig_im, max_lag=max_lag)
     )
+    if nfft < sig_re.shape[-1] + max_lag or fr.shape[-1] != nfft:
+        raise ValueError(
+            f"provided spectra (nfft={nfft}, last dim {fr.shape[-1]}) violate the "
+            f"alias-free bound for block {sig_re.shape[-1]} + max_lag {max_lag}"
+        )
 
     i_idx, j_idx = gcc.pair_indices(b)
     gi = lambda a: jnp.take(a, jnp.asarray(i_idx), axis=-2)
@@ -307,6 +312,11 @@ def gcc_phat_all_pairs_split_fused(
         if spectra is not None
         else receiver_spectra_ct(sig_re, sig_im, max_lag=max_lag)
     )
+    if nfft < n + max_lag or fr.shape[-1] != nfft:
+        raise ValueError(
+            f"provided spectra (nfft={nfft}, last dim {fr.shape[-1]}) violate the "
+            f"alias-free bound for block {n} + max_lag {max_lag}"
+        )
     i_idx, j_idx = gcc.pair_indices(b)
     mags = gcc_kernel.gcc_pair_lag_mags(
         fr, fi, i_idx, j_idx, max_lag=max_lag, eps=eps, weighting=weighting

@@ -71,13 +71,24 @@ def main():
         fft_ops.set_precision("high")
         sc_ops.set_gcc_fused("auto")
 
+    def force(outs):
+        # block_until_ready does not span remote execution on this
+        # backend (docs/PROBES.md); fetch a scalar depending on EVERY
+        # output instead.
+        import jax.numpy as jnp
+
+        total = None
+        for o in outs:
+            s = jnp.sum(o.correlation.lag_samples)
+            total = s if total is None else total + s
+        return float(np.asarray(total))
+
     times = {"high": [], "highest": []}
     for _ in range(6):
         for mode in ("high", "highest"):
             t0 = time.perf_counter()
-            for _ in range(5):
-                out = steps[mode](*args)
-            jax.block_until_ready(out)
+            outs = [steps[mode](*args) for _ in range(5)]
+            force(outs)
             times[mode].append((time.perf_counter() - t0) / 5)
 
     med = {m: float(np.median(ts)) for m, ts in times.items()}

@@ -32,10 +32,12 @@ def main():
     nfft = gcc_kernel.plan_nfft(n + max_lag)
     i_idx, j_idx = pair_indices(b)
     rng = np.random.default_rng(0)
-    # Distinct input sets per iteration: repeated calls on IDENTICAL
-    # device buffers measured ~0.04 ms for ~40 GFLOP of work (impossible)
-    # — the remote runtime appears to short-circuit repeated pure
-    # executions, so every timed call must see fresh data.
+    # Distinct input sets per iteration. NOTE the 0.04 ms anomaly this
+    # probe originally chased was NOT input-identity caching — fresh
+    # buffers timed identically under jax.block_until_ready; the actual
+    # cause is that block_until_ready does not span remote execution
+    # (docs/PROBES.md). Distinct inputs are kept anyway so no
+    # hypothetical result-dedup can shrink the measured work.
     inputs = [
         (
             jax.device_put(rng.normal(size=(ch, b, n)).astype(np.float32)),
