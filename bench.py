@@ -75,9 +75,9 @@ def _force(outs) -> float:
     `jax.block_until_ready` is NOT trustworthy on the remote TPU backend:
     it returned in ~0.04 ms for a ~40 GFLOP program whose true latency
     (measured by value fetch) was ~29 ms (docs/PROBES.md). The fetched
-    scalar is derived from EVERY output (tiny on-device reductions +
-    adds), so no dispatched execution can be elided as dead code — the
-    single materialized value depends on all of them.
+    scalar is derived from every leaf of EVERY output (tiny on-device
+    reductions + adds), so no dispatched execution can be elided as dead
+    code — the single materialized value depends on all of them.
     """
     import jax
     import jax.numpy as jnp
@@ -86,9 +86,9 @@ def _force(outs) -> float:
         outs = [outs]
     total = None
     for out in outs:
-        leaf = jax.tree_util.tree_leaves(out)[0]
-        s = jnp.sum(leaf.astype(jnp.float32))
-        total = s if total is None else total + s
+        for leaf in jax.tree_util.tree_leaves(out):
+            s = jnp.sum(leaf.astype(jnp.float32))
+            total = s if total is None else total + s
     return float(np.asarray(total))
 
 

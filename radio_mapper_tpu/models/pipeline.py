@@ -72,6 +72,10 @@ class PipelineConfig:
 
 
 class PipelineOutput(NamedTuple):
+    # NOTE: peaks.bin_index refers to the spectrum grid the routing
+    # actually detected on — block_len bins on the unfused path, nfft
+    # (padded) bins on the fused-GCC path. freq_offset_hz is the
+    # portable frequency field (see detect_ops.PeakSet docstring).
     peaks: detect_ops.PeakSet  # per-buoy detections [..., B, K]
     correlation: gcc_ops.CorrelationPeak  # per-pair TDOA [..., P]
     pair_weights: jnp.ndarray  # [..., P]

@@ -29,9 +29,18 @@ from radio_mapper_tpu.ops.spectral import power_spectrum_db, fft_frequencies_hz
 
 
 class PeakSet(NamedTuple):
-    """Fixed-size set of detected peaks; all arrays are ``[..., K]``."""
+    """Fixed-size set of detected peaks; all arrays are ``[..., K]``.
 
-    bin_index: jnp.ndarray  # int32 FFT bin (un-shifted order, DC at 0)
+    ``bin_index`` is relative to the length of the spectrum that was
+    actually detected on, which is path-dependent: the unfused pipeline
+    detects on the N-point (block_len) grid while the fused-GCC path
+    detects on the nfft-padded CT spectrum (e.g. 17408 bins for a 16384
+    block — see models/pipeline.py step_split routing). Consumers
+    comparing detections across paths must use ``freq_offset_hz``, which
+    is computed with the matching bin spacing and is portable.
+    """
+
+    bin_index: jnp.ndarray  # int32 FFT bin (un-shifted order, DC at 0; grid is path-dependent — see class docstring)
     freq_offset_hz: jnp.ndarray  # float32 offset from tuned center
     power_db: jnp.ndarray  # float32 peak power
     snr_db: jnp.ndarray  # float32 power above median noise floor

@@ -71,14 +71,14 @@ def main():
         fft_ops.set_precision("high")
         sc_ops.set_gcc_fused("auto")
 
-    def force(outs):
+    def force(out_list):
         # block_until_ready does not span remote execution on this
         # backend (docs/PROBES.md); fetch a scalar depending on EVERY
         # output instead.
         import jax.numpy as jnp
 
         total = None
-        for o in outs:
+        for o in out_list:
             s = jnp.sum(o.correlation.lag_samples)
             total = s if total is None else total + s
         return float(np.asarray(total))
@@ -87,8 +87,8 @@ def main():
     for _ in range(6):
         for mode in ("high", "highest"):
             t0 = time.perf_counter()
-            outs = [steps[mode](*args) for _ in range(5)]
-            force(outs)
+            epoch_outs = [steps[mode](*args) for _ in range(5)]
+            force(epoch_outs)
             times[mode].append((time.perf_counter() - t0) / 5)
 
     med = {m: float(np.median(ts)) for m, ts in times.items()}
