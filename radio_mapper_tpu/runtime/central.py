@@ -296,6 +296,9 @@ class CentralProcessor:
                     signal_type=r.signal_type,
                     triangulation_method=r.method,
                     accuracy_meters=r.accuracy_meters,
+                    ellipse_major_m=r.ellipse_major_m,
+                    ellipse_minor_m=r.ellipse_minor_m,
+                    ellipse_orientation_deg=r.ellipse_orientation_deg,
                 )
                 self.triangulated_signals.append(signal)
                 self.metrics.inc("fixes_computed")
@@ -396,10 +399,13 @@ class CentralProcessor:
                     "confidence": s.confidence,
                     "triangulated": True,
                     "accuracy_meters": s.accuracy_meters,
-                    # extension over the reference shape: how the fix was
+                    # extensions over the reference shape: how the fix was
                     # solved ("gcc-phat+lm" waveform vs "hyperbolic-lm"
-                    # timestamp differencing)
+                    # timestamp differencing) and the 1σ CRLB error ellipse
                     "method": s.triangulation_method,
+                    "ellipse_major_m": s.ellipse_major_m,
+                    "ellipse_minor_m": s.ellipse_minor_m,
+                    "ellipse_orientation_deg": s.ellipse_orientation_deg,
                 }
             )
         return self._json(out)
@@ -532,6 +538,9 @@ class CentralProcessor:
                         "detected_by": s.detected_by,
                         "timestamp": s.detection_timestamps[0],
                         "accuracy_meters": s.accuracy_meters,
+                        "ellipse_major_m": s.ellipse_major_m,
+                        "ellipse_minor_m": s.ellipse_minor_m,
+                        "ellipse_orientation_deg": s.ellipse_orientation_deg,
                     }
                 )
         return self._json({"matches": matches, "count": len(matches)})

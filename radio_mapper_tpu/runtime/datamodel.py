@@ -153,6 +153,13 @@ class TriangulationResult:
     contributing_buoys: List[str]
     tdoa_measurements: List[TDoAMeasurement]
     method: str  # "hyperbolic-lm", "gcc-phat+lm", ...
+    # 1σ horizontal error ellipse from the solver's CRLB covariance
+    # (solver.SolveResult) — an extension over the reference's single
+    # residual-RMS scalar (`tdoa_processor.py:299`). Orientation is the
+    # major-axis bearing, degrees clockwise from North, in [0, 180).
+    ellipse_major_m: float = 0.0
+    ellipse_minor_m: float = 0.0
+    ellipse_orientation_deg: float = 0.0
 
 
 @dataclasses.dataclass
@@ -169,6 +176,10 @@ class TriangulatedSignal:
     signal_type: str
     triangulation_method: str
     accuracy_meters: float
+    # 1σ horizontal error ellipse (see TriangulationResult)
+    ellipse_major_m: float = 0.0
+    ellipse_minor_m: float = 0.0
+    ellipse_orientation_deg: float = 0.0
 
 
 @dataclasses.dataclass

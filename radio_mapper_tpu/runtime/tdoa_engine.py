@@ -267,6 +267,9 @@ class TDoAEngine:
                 logger.warning("mixed snippet sample rates %s; waveform mode off", rates)
             return []
         fs = rates.pop()
+        # Remember the dwell's sample rate so the solve can floor its
+        # error-ellipse σ at the GCC τ resolution (~0.2 sample).
+        self._last_waveform_fs = fs
 
         # Same-dwell clustering: snippets only correlate if they come from
         # the SAME capture window. Greedily cluster by anchor (tolerance
@@ -336,11 +339,15 @@ class TDoAEngine:
     # -- solving ----------------------------------------------------------
 
     def _solve_group(
-        self, measurements: List[TDoAMeasurement]
-    ) -> Optional[Tuple[float, float, float, float, float]]:
+        self, measurements: List[TDoAMeasurement], sigma_floor_m: float = 0.0
+    ) -> Optional[Tuple[float, float, float, float, float, Tuple[float, float, float]]]:
         """LM solve of one measurement group in a local ENU frame.
 
-        Returns (lat, lng, alt, accuracy_m, mean_confidence) or None.
+        Returns (lat, lng, alt, accuracy_m, mean_confidence,
+        (ellipse_major_m, ellipse_minor_m, ellipse_orientation_deg)) or
+        None. The ellipse is the solver's 1σ CRLB ellipse — the honest
+        geometric uncertainty the reference's residual-RMS scalar hides
+        (`tdoa_processor.py:299`).
         """
         buoy_ids = sorted(
             {m.buoy1_id for m in measurements} | {m.buoy2_id for m in measurements}
@@ -375,6 +382,7 @@ class TDoAEngine:
             w,
             num_starts=self.solver_starts,
             iterations=self.solver_iterations,
+            sigma_floor_m=np.float32(sigma_floor_m),
         )
         enu = np.asarray(res.position_enu, np.float64)
         if not np.all(np.isfinite(enu)):
@@ -382,7 +390,12 @@ class TDoAEngine:
         lat, lng, alt = geo.enu_to_lat_lng(enu, lat0, lng0, 0.0)
         accuracy = float(np.asarray(res.residual_rms_m))
         mean_conf = float(np.mean([m.confidence for m in measurements]))
-        return float(lat), float(lng), float(alt), accuracy, mean_conf
+        ellipse = (
+            float(np.asarray(res.ellipse_major_m)),
+            float(np.asarray(res.ellipse_minor_m)),
+            float(np.asarray(res.ellipse_orientation_deg)),
+        )
+        return float(lat), float(lng), float(alt), accuracy, mean_conf, ellipse
 
     def process_signal_detections(
         self, detections: Sequence[SignalDetection]
@@ -408,10 +421,16 @@ class TDoAEngine:
                 measurements = self.measurements_from_timestamps(windowed)
             if len(measurements) < 2:
                 continue
-            solved = self._solve_group(measurements)
+            # Waveform τ is good to ~0.2 sample; that resolution floors the
+            # ellipse σ (a 3-receiver group fits all-pairs dd exactly, so
+            # the residual σ estimate alone can report zero uncertainty).
+            floor = 0.0
+            if method == "gcc-phat+lm" and getattr(self, "_last_waveform_fs", 0.0):
+                floor = 0.2 * SPEED_OF_LIGHT_M_S / self._last_waveform_fs
+            solved = self._solve_group(measurements, sigma_floor_m=floor)
             if solved is None:
                 continue
-            lat, lng, alt, accuracy, conf = solved
+            lat, lng, alt, accuracy, conf, ellipse = solved
             types = [d.signal_type for d in windowed]
             common_type = max(set(types), key=types.count)
             result = TriangulationResult(
@@ -426,6 +445,9 @@ class TDoAEngine:
                 contributing_buoys=sorted({d.buoy_id for d in windowed}),
                 tdoa_measurements=measurements,
                 method=method,
+                ellipse_major_m=ellipse[0],
+                ellipse_minor_m=ellipse[1],
+                ellipse_orientation_deg=ellipse[2],
             )
             results.append(result)
             if common_type == "emergency":

@@ -40,7 +40,17 @@ from radio_mapper_tpu.constants import SPEED_OF_LIGHT_M_S
 
 
 class SolveResult(NamedTuple):
-    """Fields have the batch shape of the inputs (position adds a 3-axis)."""
+    """Fields have the batch shape of the inputs (position adds a 3-axis).
+
+    Uncertainty: beyond the reference's residual-RMS "accuracy" scalar
+    (`tdoa_processor.py:299`), the solver inverts the weighted normal
+    matrix J^TWJ it already forms each LM iteration, scaled by the
+    residual variance, giving the 1σ ENU position covariance (the CRLB
+    shape at the solution). ``ellipse_*`` summarize its East-North block
+    as the standard horizontal error ellipse: a 3-receiver collinear
+    geometry that *looks* accurate by residual RMS reports its true
+    multi-km cross-track axis here.
+    """
 
     position_enu: jnp.ndarray  # [..., 3] emitter estimate, meters ENU
     cost: jnp.ndarray  # [...] final weighted mean squared residual (m²)
@@ -48,6 +58,10 @@ class SolveResult(NamedTuple):
     grad_norm: jnp.ndarray  # [...] final gradient norm (convergence check)
     converged: jnp.ndarray  # [...] bool
     num_measurements: jnp.ndarray  # [...] effective (unmasked) measurement count
+    cov_enu: jnp.ndarray  # [..., 3, 3] 1σ² position covariance (Up row/col 0 when solve_2d)
+    ellipse_major_m: jnp.ndarray  # [...] 1σ semi-major axis of the EN ellipse
+    ellipse_minor_m: jnp.ndarray  # [...] 1σ semi-minor axis
+    ellipse_orientation_deg: jnp.ndarray  # [...] major-axis bearing, deg clockwise from North in [0, 180)
 
 
 def _residuals_and_jac(x, anchors, pair_i, pair_j, dd):
@@ -95,9 +109,57 @@ def _solve3(a, b):
     return jnp.stack([x0, x1, x2], axis=-1)
 
 
+def _inv3(a, floor: float = 1e-20):
+    """Adjugate inverse for batched 3×3 symmetric matrices with a det floor.
+
+    Near-singular geometry (collinear receivers, unresolved altitude)
+    yields a floored determinant, so the inverse — and hence the error
+    ellipse — becomes *huge rather than NaN*, which is exactly the honest
+    answer for a degenerate fix.
+    """
+    a00, a01, a02 = a[..., 0, 0], a[..., 0, 1], a[..., 0, 2]
+    a10, a11, a12 = a[..., 1, 0], a[..., 1, 1], a[..., 1, 2]
+    a20, a21, a22 = a[..., 2, 0], a[..., 2, 1], a[..., 2, 2]
+    c00 = a11 * a22 - a12 * a21
+    c01 = a12 * a20 - a10 * a22
+    c02 = a10 * a21 - a11 * a20
+    det = a00 * c00 + a01 * c01 + a02 * c02
+    inv_det = 1.0 / jnp.where(jnp.abs(det) < floor, floor, det)
+    c10 = a02 * a21 - a01 * a22
+    c11 = a00 * a22 - a02 * a20
+    c12 = a01 * a20 - a00 * a21
+    c20 = a01 * a12 - a02 * a11
+    c21 = a02 * a10 - a00 * a12
+    c22 = a00 * a11 - a01 * a10
+    row0 = jnp.stack([c00, c10, c20], axis=-1)
+    row1 = jnp.stack([c01, c11, c21], axis=-1)
+    row2 = jnp.stack([c02, c12, c22], axis=-1)
+    return jnp.stack([row0, row1, row2], axis=-2) * inv_det[..., None, None]
+
+
+def error_ellipse_from_cov(cov_enu: jnp.ndarray):
+    """(semi_major_m, semi_minor_m, bearing_deg) of the 1σ EN ellipse.
+
+    Closed-form 2×2 symmetric eigendecomposition of the East-North block;
+    bearing is the major axis direction in degrees clockwise from North,
+    folded to [0, 180) (an axis, not a vector).
+    """
+    a = cov_enu[..., 0, 0]
+    b = cov_enu[..., 0, 1]
+    c = cov_enu[..., 1, 1]
+    mean = 0.5 * (a + c)
+    spread = jnp.sqrt(jnp.maximum(0.25 * (a - c) ** 2 + b * b, 0.0))
+    lam1 = jnp.maximum(mean + spread, 0.0)
+    lam2 = jnp.maximum(mean - spread, 0.0)
+    # angle of the λ1 eigenvector from the East axis, then → compass bearing
+    theta = 0.5 * jnp.arctan2(2.0 * b, a - c)
+    bearing = jnp.mod(90.0 - jnp.degrees(theta), 180.0)
+    return jnp.sqrt(lam1), jnp.sqrt(lam2), bearing
+
+
 @functools.partial(
     jax.jit,
-    static_argnames=("solve_2d", "iterations", "grad_tol", "axis_name"),
+    static_argnames=("solve_2d", "iterations", "grad_tol", "axis_name", "noise_model"),
 )
 def solve_tdoa(
     anchors_enu: jnp.ndarray,
@@ -111,6 +173,9 @@ def solve_tdoa(
     iterations: int = 40,
     grad_tol: float = 1e-2,
     axis_name: Optional[str] = None,
+    noise_model: str = "receiver",
+    sigma_m: Optional[jnp.ndarray] = None,
+    sigma_floor_m: Optional[jnp.ndarray] = None,
 ) -> SolveResult:
     """Levenberg-Marquardt hyperbolic solve, batched over leading dims.
 
@@ -131,6 +196,23 @@ def solve_tdoa(
         reconstructs the global 3×3 solve exactly; every shard then takes
         the identical step. Collectives per iteration: one psum of
         (3 + 9 + 1 + 1) floats — negligible against the GCC stage.
+      noise_model: how measurement noise is modeled for the covariance.
+        ``"receiver"`` (default): noise originates per *receiver* (clock
+        error, per-receiver SNR), so all-pairs dd measurements are
+        correlated through the pair-differencing matrix A — the honest
+        model for an algebraically redundant all-pairs set, where pair
+        residuals stay self-consistent and the naive per-pair formula
+        underestimates the ellipse. Uses the GLS sandwich
+        Cov = σ_r²·M⁻¹(JᵀWA)(JᵀWA)ᵀM⁻¹. ``"pair"``: independent per-pair
+        noise, Cov = σ_p²·M⁻¹.
+      sigma_m: known 1σ measurement noise in meters (per receiver for
+        "receiver", per unit-weight pair for "pair"). When omitted, σ is
+        estimated from the weighted residuals with the exact unbiased
+        normalization E[Σwr²] = σ²·(2·wsum − tr(GᵀM⁻¹G)) (receiver model)
+        — caveat: with few receivers the estimate has χ²-few-dof spread,
+        and with 3 receivers the all-pairs set fits exactly, making σ
+        unobservable; supply sigma_m or sigma_floor_m there.
+      sigma_floor_m: lower bound applied to the (estimated or known) σ.
     """
     anchors_enu = jnp.asarray(anchors_enu, jnp.float32)
     dd_m = jnp.asarray(dd_m, jnp.float32)
@@ -201,15 +283,80 @@ def solve_tdoa(
     )
 
     r, jac = _residuals_and_jac(x, anchors_enu, pair_i, pair_j, dd_m)
-    g = _psum(jnp.einsum("...pk,...p->...k", jac * dim_mask, w * r)) / wsum[..., None]
+    jac = jac * dim_mask
+    g = _psum(jnp.einsum("...pk,...p->...k", jac, w * r)) / wsum[..., None]
     grad_norm = jnp.linalg.norm(g, axis=-1)
+    num_measurements = _psum(jnp.sum(w > 0, axis=-1))
+
+    # -- CRLB error ellipse from the (undamped) normal matrix --------------
+    # Exceeds the reference's √(cost/N) scalar (`tdoa_processor.py:299`)
+    # with the full geometric covariance; see `noise_model` in the
+    # docstring for the two noise models.
+    m_u = _psum(jnp.einsum("...pk,...pl->...kl", jac, jac * w[..., None]))
+    n_unknowns = 2 if solve_2d else 3
+    wrr = cost * wsum  # Σ w r²
+    if solve_2d:
+        # Up is frozen ⇒ m_u's Up row/col is exactly zero; invert the EN
+        # block. The zero Up rows of jac/G make the sandwich Up-zero too.
+        ma, mb, mc = m_u[..., 0, 0], m_u[..., 0, 1], m_u[..., 1, 1]
+        det = ma * mc - mb * mb
+        det = jnp.where(jnp.abs(det) < 1e-20, 1e-20, det)
+        zeros = jnp.zeros_like(ma)
+        row0 = jnp.stack([mc / det, -mb / det, zeros], axis=-1)
+        row1 = jnp.stack([-mb / det, ma / det, zeros], axis=-1)
+        row2 = jnp.stack([zeros, zeros, zeros], axis=-1)
+        m_inv = jnp.stack([row0, row1, row2], axis=-2)
+    else:
+        m_inv = _inv3(m_u)
+    if noise_model == "receiver":
+        # A[p, r] = +1 at pair_i[p], −1 at pair_j[p] — built with one_hot
+        # (iota + compare), no scatter, so it stays chip-safe.
+        num_receivers = anchors_enu.shape[-2]
+        a_mat = (
+            jax.nn.one_hot(pair_i, num_receivers, dtype=jnp.float32)
+            - jax.nn.one_hot(pair_j, num_receivers, dtype=jnp.float32)
+        )
+        g = _psum(jnp.einsum("...pk,...pb->...kb", jac * w[..., None], a_mat))
+        # unbiased σ_r²: E[Σwr²] = σ_r²·(tr(AᵀWA) − tr(GᵀM⁻¹G)), and
+        # tr(AᵀWA) = 2·wsum (each pair row of A has two unit entries).
+        m_inv_g = jnp.einsum("...kl,...lb->...kb", m_inv, g)
+        denom = 2.0 * wsum - jnp.einsum("...kb,...kb->...", g, m_inv_g)
+        sigma2 = wrr / jnp.maximum(denom, 0.25)
+        if sigma_m is not None:
+            sigma2 = jnp.broadcast_to(
+                jnp.square(jnp.asarray(sigma_m, jnp.float32)), sigma2.shape
+            )
+        if sigma_floor_m is not None:
+            sigma2 = jnp.maximum(
+                sigma2, jnp.square(jnp.asarray(sigma_floor_m, jnp.float32))
+            )
+        sandwich = jnp.einsum("...kb,...lb->...kl", m_inv_g, m_inv_g)
+        cov_enu = sigma2[..., None, None] * sandwich
+    else:
+        dof = jnp.maximum(num_measurements.astype(jnp.float32) - n_unknowns, 1.0)
+        sigma2 = wrr / dof
+        if sigma_m is not None:
+            sigma2 = jnp.broadcast_to(
+                jnp.square(jnp.asarray(sigma_m, jnp.float32)), sigma2.shape
+            )
+        if sigma_floor_m is not None:
+            sigma2 = jnp.maximum(
+                sigma2, jnp.square(jnp.asarray(sigma_floor_m, jnp.float32))
+            )
+        cov_enu = sigma2[..., None, None] * m_inv
+    major, minor, bearing = error_ellipse_from_cov(cov_enu)
+
     return SolveResult(
         position_enu=x,
         cost=cost,
         residual_rms_m=jnp.sqrt(cost),
         grad_norm=grad_norm,
         converged=grad_norm < grad_tol,
-        num_measurements=_psum(jnp.sum(w > 0, axis=-1)),
+        num_measurements=num_measurements,
+        cov_enu=cov_enu,
+        ellipse_major_m=major,
+        ellipse_minor_m=minor,
+        ellipse_orientation_deg=bearing,
     )
 
 

@@ -115,6 +115,8 @@ class WebApp:
                 "timestamp": now, "signal_type": "emergency",
                 "classification": "Aviation Emergency - 121.5 MHz",
                 "confidence": 0.9, "triangulated": True, "accuracy_meters": 45.0,
+                "ellipse_major_m": 120.0, "ellipse_minor_m": 60.0,
+                "ellipse_orientation_deg": 30.0,
             }]
         if path == "/api/system-status":
             return {"uptime_seconds": _time.time() % 10_000, "connected_nodes": 3,

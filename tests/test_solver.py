@@ -91,6 +91,111 @@ def test_linear_geometry_does_not_explode():
     assert err < 5_000
 
 
+def test_linear_geometry_ellipse_reports_cross_track_ambiguity():
+    """A collinear E-W array must confess its weak north-south axis.
+
+    The reference's residual-RMS "accuracy" (`tdoa_processor.py:299`) looks
+    small here because an all-pairs dd set from 3 receivers fits exactly;
+    the CRLB ellipse must instead report a strongly anisotropic ellipse
+    whose major axis points cross-track (≈ North for an E-W array).
+    """
+    buoys = (
+        ("b1", 35.40, -97.70, 0.0),
+        ("b2", 35.40, -97.55, 0.0),
+        ("b3", 35.40, -97.40, 0.0),
+    )
+    scen = sim.default_scenario(buoys=buoys, emitter_lat=35.43, emitter_lng=-97.50)
+    anchors, emitter, i_idx, j_idx, dd = _scenario_dd(scen, timing_error_s=1e-6, seed=0)
+    sigma = SPEED_OF_LIGHT_M_S * 1e-6  # known 1σ per-receiver noise, meters
+    res = solver.solve_tdoa_multistart(
+        jnp.asarray(anchors, jnp.float32),
+        jnp.asarray(i_idx),
+        jnp.asarray(j_idx),
+        jnp.asarray(dd, jnp.float32),
+        sigma_m=jnp.float32(sigma),
+    )
+    major = float(np.asarray(res.ellipse_major_m))
+    minor = float(np.asarray(res.ellipse_minor_m))
+    bearing = float(np.asarray(res.ellipse_orientation_deg))
+    rms = float(np.asarray(res.residual_rms_m))
+    assert rms < 10.0, rms  # the deceptive part: near-perfect residual fit
+    assert major / max(minor, 1e-6) > 3.0, (major, minor)
+    assert major > 500.0, major  # the honest multi-hundred-meter ambiguity
+    # major axis ≈ cross-track (North); bearing folds to [0, 180)
+    assert min(bearing, 180.0 - bearing) < 25.0, bearing
+
+
+def test_ellipse_monte_carlo_coverage():
+    """1σ CRLB ellipse calibration against Monte-Carlo scatter.
+
+    Per-receiver timing noise, known σ: the fraction of trials inside the
+    68% confidence ellipse (Mahalanobis² ≤ 2.279 for 2-D) must be ≈ 0.68,
+    and the predicted major axis must match the empirical scatter.
+    """
+    scen = sim.default_scenario()
+    anchors = scen.buoy_enu()
+    emitter = scen.emitter_enu(scen.emitters[0])
+    i_idx, j_idx = pair_indices(len(anchors))
+    n_trials, sigma_t = 200, 1e-6
+    dds = np.stack(
+        [_scenario_dd(scen, timing_error_s=sigma_t, seed=s)[4] for s in range(n_trials)]
+    )
+    res = solver.solve_tdoa(
+        jnp.asarray(anchors, jnp.float32),
+        jnp.asarray(i_idx),
+        jnp.asarray(j_idx),
+        jnp.asarray(dds, jnp.float32),
+        sigma_m=jnp.float32(SPEED_OF_LIGHT_M_S * sigma_t),
+    )
+    est = np.asarray(res.position_enu)[:, :2]
+    err = est - emitter[:2]
+    cov = np.asarray(res.cov_enu)[:, :2, :2].astype(np.float64)
+    d2 = np.einsum("ni,nij,nj->n", err, np.linalg.inv(cov), err)
+    coverage = float(np.mean(d2 <= 2.279))
+    assert 0.50 <= coverage <= 0.85, coverage
+    # predicted axis within 2× of the empirical scatter scale
+    pred = float(np.median(np.asarray(res.ellipse_major_m)))
+    scatter = float(err.std(axis=0).max())
+    assert 0.5 < pred / scatter < 2.0, (pred, scatter)
+
+
+def test_ellipse_residual_sigma_estimate_right_order():
+    """Without a known σ, the receiver-model residual estimate lands within
+    a factor ~3 of the true scatter (χ²-few-dof spread is expected)."""
+    scen = sim.default_scenario()
+    anchors = scen.buoy_enu()
+    emitter = scen.emitter_enu(scen.emitters[0])
+    i_idx, j_idx = pair_indices(len(anchors))
+    dds = np.stack(
+        [_scenario_dd(scen, timing_error_s=1e-6, seed=s)[4] for s in range(100)]
+    )
+    res = solver.solve_tdoa(
+        jnp.asarray(anchors, jnp.float32),
+        jnp.asarray(i_idx),
+        jnp.asarray(j_idx),
+        jnp.asarray(dds, jnp.float32),
+    )
+    est = np.asarray(res.position_enu)[:, :2]
+    scatter = float((est - emitter[:2]).std(axis=0).max())
+    pred = float(np.median(np.asarray(res.ellipse_major_m)))
+    assert scatter / 3.0 < pred < scatter * 3.0, (pred, scatter)
+
+
+def test_error_ellipse_from_cov_closed_form():
+    # isotropic → equal axes; pure-East elongation → bearing 90°
+    iso = jnp.asarray(np.diag([4.0, 4.0, 0.0]), jnp.float32)
+    a, b, _ = solver.error_ellipse_from_cov(iso)
+    assert abs(float(a) - 2.0) < 1e-5 and abs(float(b) - 2.0) < 1e-5
+    east = jnp.asarray(np.diag([9.0, 1.0, 0.0]), jnp.float32)
+    a, b, brg = solver.error_ellipse_from_cov(east)
+    assert abs(float(a) - 3.0) < 1e-5 and abs(float(b) - 1.0) < 1e-5
+    assert abs(float(brg) - 90.0) < 1e-3
+    north = jnp.asarray(np.diag([1.0, 9.0, 0.0]), jnp.float32)
+    a, b, brg = solver.error_ellipse_from_cov(north)
+    assert abs(float(a) - 3.0) < 1e-5
+    assert min(float(brg), 180.0 - float(brg)) < 1e-3
+
+
 def test_emitter_outside_hull_with_multistart():
     # ~40 km outside the array: GDOP amplifies fp32 rounding into tens of
     # meters even with exact delays. The point of this test is that
