@@ -39,6 +39,7 @@ from radio_mapper_tpu.runtime.datamodel import (
     BuoyStatus,
     NumpyJSONEncoder,
     SignalDetection,
+    detection_wire_dict,
     parse_iso,
     utc_now_iso,
 )
@@ -72,6 +73,10 @@ class BuoyNodeConfig:
     # Must exceed 2× the largest expected lag (baseline/c·fs).
     attach_iq: bool = True
     iq_snippet_samples: int = 2048
+    # Snippet wire encoding: "u8" (base64 uint8 + scale, rtl-native 8-bit,
+    # ~15× smaller than the JSON float pairs — `rtl_tcp.c:144-188` moves
+    # raw bytes for the same reason), "f16", or "json" (legacy fallback).
+    iq_wire_format: str = "u8"
     gps_update_interval_s: float = 60.0  # `buoy_node.py:657-681`
     # On capture failure, emit simulated detections instead of a dead
     # dwell (reference dev behavior `buoy_node.py:459-467, 471-525`);
@@ -400,7 +405,12 @@ class BuoyNode:
             det = await self.queue.get()
             await ws.send(
                 json.dumps(
-                    {"type": "signal_detection", "data": dataclasses.asdict(det)},
+                    {
+                        "type": "signal_detection",
+                        "data": detection_wire_dict(
+                            det, self.config.iq_wire_format
+                        ),
+                    },
                     cls=NumpyJSONEncoder,
                 )
             )

@@ -344,6 +344,11 @@ def solve_tdoa(
                 sigma2, jnp.square(jnp.asarray(sigma_floor_m, jnp.float32))
             )
         cov_enu = sigma2[..., None, None] * m_inv
+    # Degenerate geometry with huge residuals can overflow f32 to ±inf;
+    # clamp to a finite "no information" bound (1e16 m² ⇒ 1e8 m axes) so
+    # the ellipse stays JSON-serializable and comparisons stay ordered.
+    cov_enu = jnp.clip(jnp.nan_to_num(cov_enu, nan=1e16, posinf=1e16, neginf=-1e16),
+                       -1e16, 1e16)
     major, minor, bearing = error_ellipse_from_cov(cov_enu)
 
     return SolveResult(

@@ -135,15 +135,24 @@ def test_waveform_anchor_clustering_rejects_other_dwells():
     assert dets[1].buoy_id not in used
 
 
-def test_snippet_survives_wire_roundtrip():
-    """buoy JSON → central parse → engine measurement, bit-faithful IQ."""
+@pytest.mark.parametrize("fmt", ["json", "u8", "f16"])
+def test_snippet_survives_wire_roundtrip(fmt):
+    """buoy wire encoding → central parse → engine measurement.
+
+    "json" is bit-faithful; the binary formats ("u8" rtl-style bytes —
+    the reference's own IQ transport representation, `rtl_tcp.c:144-188`
+    — and "f16") must recover the waveform within quantization noise and
+    still produce a waveform-mode fix.
+    """
+    from radio_mapper_tpu.runtime.datamodel import detection_wire_dict
+
     scen = sim.default_scenario(emitter_lat=EMITTER[0], emitter_lng=EMITTER[1], seed=3)
     cap = sim.synthesize(scen)
     dets = _detections_with_snippets(scen, cap)
     wire = [
         json.loads(
             json.dumps(
-                {"type": "signal_detection", "data": dataclasses.asdict(d)},
+                {"type": "signal_detection", "data": detection_wire_dict(d, fmt)},
                 cls=NumpyJSONEncoder,
             )
         )
@@ -153,9 +162,26 @@ def test_snippet_survives_wire_roundtrip():
     for d, l in zip(dets, live):
         assert l.iq_sample_rate_hz == d.iq_sample_rate_hz
         assert l.iq_anchor_ns == d.iq_anchor_ns
-        np.testing.assert_allclose(
-            np.asarray(l.iq_samples, np.complex64), d.iq_samples, rtol=1e-6
+        got = np.asarray(l.iq_samples, np.complex64)
+        ref = np.asarray(d.iq_samples, np.complex64)
+        if fmt == "json":
+            np.testing.assert_allclose(got, ref, rtol=1e-6)
+        else:
+            # quantization error bounded by the format's step size
+            scale = float(np.max(np.abs([ref.real, ref.imag])))
+            tol = scale / 127.0 if fmt == "u8" else scale / 256.0
+            assert np.max(np.abs(got - ref)) < 2 * tol
+    # Binary formats must actually shrink the message: ≥10× for the "u8"
+    # default (4/3 byte/sample after base64), ≥7× for "f16" (8/3).
+    if fmt != "json":
+        json_bytes = len(
+            json.dumps(detection_wire_dict(dets[0], "json"), cls=NumpyJSONEncoder)
         )
+        fmt_bytes = len(
+            json.dumps(detection_wire_dict(dets[0], fmt), cls=NumpyJSONEncoder)
+        )
+        shrink = 10 if fmt == "u8" else 7
+        assert fmt_bytes * shrink <= json_bytes, (fmt, fmt_bytes, json_bytes)
     # Reconstructed detections still solve in waveform mode.
     back = [
         dataclasses.replace(d, iq_samples=l.iq_samples) for d, l in zip(dets, live)
