@@ -300,20 +300,27 @@ def main():
             continue
         samples = ch * 8 * 16_384
         epochs = []
-        for epoch in range(2):
+        for epoch in range(3):
             # warmup=3: the first fetch-closed epoch after a fresh remote
             # compile still measured ~65% slow with warmup=1 (service-side
             # warm-up effects persist past the first execution).
-            step_s = _epoch_time(step, args, iters=30, warmup=3)
+            step_s = _epoch_time(step, args, iters=30, warmup=3 if epoch == 0 else 1)
             epochs.append((samples / step_s, step_s))
-        rate, step_s = max(epochs)
-        spread = abs(epochs[0][0] - epochs[1][0]) / rate
-        _log(f"channels={ch}: epochs agree within {spread*100:.1f}%")
-        _log(f"channels={ch}: {rate/1e6:.1f} MS/s/chip (path={path}, {step_s*1e3:.2f} ms/step)")
+        # Median-of-epochs is the headline (VERDICT r2 item 10); best-of
+        # stays as a secondary field for comparison with earlier rounds.
+        epochs.sort()
+        rate, step_s = epochs[len(epochs) // 2]
+        rate_best = epochs[-1][0]
+        spread = (epochs[-1][0] - epochs[0][0]) / rate
+        _log(f"channels={ch}: epoch spread {spread*100:.1f}%")
+        _log(
+            f"channels={ch}: median {rate/1e6:.1f} MS/s/chip "
+            f"(best {rate_best/1e6:.1f}, path={path}, {step_s*1e3:.2f} ms/step)"
+        )
         if rate > best["rate"]:
             best = {
-                "rate": rate, "path": path, "step_s": step_s, "flops": flops,
-                "channels": ch,
+                "rate": rate, "rate_best": rate_best, "path": path,
+                "step_s": step_s, "flops": flops, "channels": ch,
             }
 
     fft_rate = 0.0
@@ -343,7 +350,8 @@ def main():
         json.dumps(
             {
                 "metric": "iq_samples_per_s_per_chip",
-                "value": round(float(value), 1),
+                "value": round(float(value), 1),  # median-of-epochs
+                "value_best_epoch": round(float(best.get("rate_best", 0.0)), 1),
                 "unit": "samples/s/chip",
                 "vs_baseline": round(value / BASELINE_SAMPLES_PER_S_PER_CHIP, 4),
                 "mfu": round(mfu, 4) if mfu is not None else None,

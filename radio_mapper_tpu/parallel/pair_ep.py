@@ -140,7 +140,9 @@ def build_pair_ep_step(mesh: Mesh, config: PairEPConfig, *, axis: str = "pair"):
             jnp.clip((pk.psr - cfg.psr_floor) / cfg.psr_scale, 0.0, 1.0) + 1e-3
         ) * valid_l
         dd = solver.tau_to_distance_difference(pk.tau_s)
-        res = solver.solve_tdoa(
+        # The raw impl (no nested jit) lets check_vma=True below verify
+        # the psum-replication of the fix statically.
+        res = solver.solve_tdoa_impl(
             anchors, pi_l, pj_l, dd, weights,
             iterations=cfg.solver_iterations, axis_name=axis,
         )
@@ -157,9 +159,11 @@ def build_pair_ep_step(mesh: Mesh, config: PairEPConfig, *, axis: str = "pair"):
     )
     inner = jax.shard_map(
         local_step, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
-        # fix/cost are replicated by the psum-reduced solve; the static
-        # checker can't infer that through the solver's jit boundary.
-        check_vma=False,
+        # check_vma=True: the static sharding checker verifies fix/cost
+        # really are device-invariant (every update flows through psum in
+        # solve_tdoa_impl) — re-enabled per VERDICT r2 weak-6 by calling
+        # the un-jitted solver and keeping its EP-mode LM carry untainted.
+        check_vma=True,
     )
 
     def step(re, im, anchors):
