@@ -58,12 +58,25 @@ class PipelineConfig:
     # Pair weight = min(conf_i, conf_j) · clip((psr − psr_floor)/psr_scale)
     psr_floor: float = 1.2
     psr_scale: float = 2.0
+    # Narrowband mode: correlate K consecutive dwells as ONE coherent
+    # capture of K·block_len samples (inputs become [..., B, K·N]) while
+    # detection uses the dwell-averaged PSD on the block_len grid. τ noise
+    # shrinks ~√(K·N) with integration time — the only physics that
+    # rescues 5 kHz-class ELT beacons, whose per-dwell CRLB is km-scale
+    # (CRLB ∝ 1/BW; `Documents/TDOA_README.md:107-110` targets <500 m).
+    # τ-domain per-dwell fusion was measured and rejected: a swept tone is
+    # quasi-monochromatic within one dwell, so per-dwell lags are *biased*
+    # (ambiguous), and averaging biased lags never converges (see
+    # tests/test_validation_scenarios.py ELT case).
+    correlation_dwells: int = 1
 
     def validate(self) -> "PipelineConfig":
         if self.max_lag >= self.block_len:
             raise ValueError("max_lag must be smaller than block_len")
         if self.num_buoys < 2:
             raise ValueError("need at least 2 receivers")
+        if self.correlation_dwells < 1:
+            raise ValueError("correlation_dwells must be >= 1")
         return self
 
     @property
@@ -158,9 +171,36 @@ class TDOAPipeline:
     # -- full steps -----------------------------------------------------
 
     def step(self, iq: jnp.ndarray, anchors_enu: jnp.ndarray) -> PipelineOutput:
-        """Full pipeline on complex IQ ``[..., B, N]``, anchors ``[..., B, 3]``."""
-        peaks = self.detect(iq)
-        corr = self.correlate(iq)
+        """Full pipeline on complex IQ ``[..., B, N]`` (``[..., B, K·N]``
+        when ``correlation_dwells=K``), anchors ``[..., B, 3]``."""
+        c = self.config
+        if c.correlation_dwells > 1:
+            from radio_mapper_tpu.ops.spectral import power_spectrum_db
+
+            k, n = c.correlation_dwells, c.block_len
+            dwells = iq.reshape(*iq.shape[:-1], k, n)  # [..., B, K, N]
+            # detection: dwell-averaged PSD (√K noise-floor variance cut)
+            # on the per-dwell bin grid
+            power_db = (
+                10.0
+                * jnp.log10(
+                    jnp.mean(
+                        10.0 ** (power_spectrum_db(dwells) / 10.0), axis=-2
+                    )
+                    + 1e-30
+                )
+                + c.power_offset_db
+            )
+            peaks = detect_ops.detect_peaks(
+                power_db,
+                sample_rate_hz=c.sample_rate_hz,
+                max_peaks=c.max_peaks,
+                threshold_db=c.detection_threshold_db,
+                noise_floor_stride=c.noise_floor_stride,
+            )
+        else:
+            peaks = self.detect(iq)
+        corr = self.correlate(iq)  # full-capture coherent correlation
         weights = self.pair_weights(peaks, corr)
         fix = self.solve(anchors_enu, corr, weights)
         buoy_conf = jnp.max(jnp.where(peaks.valid, peaks.confidence, 0.0), axis=-1)
@@ -189,6 +229,8 @@ class TDOAPipeline:
         """
         c = self.config
         n = re.shape[-1]
+        if c.correlation_dwells > 1:
+            return self._step_split_multidwell(re, im, anchors_enu)
         use_fused = sc_ops.gcc_fused_enabled(n + c.max_lag, c.weighting)
         if use_fused:
             # ONE forward transform (CT bin order) feeds both stages: the
@@ -244,6 +286,59 @@ class TDOAPipeline:
                 eps=c.gcc_eps,
                 spectra=spectra,
             )
+        corr = gcc_ops.CorrelationPeak(
+            lag_samples=corr_sc.lag_samples,
+            tau_s=corr_sc.tau_s,
+            peak_value=corr_sc.peak_value,
+            psr=corr_sc.psr,
+        )
+        weights = self.pair_weights(peaks, corr)
+        fix = self.solve(anchors_enu, corr, weights)
+        buoy_conf = jnp.max(jnp.where(peaks.valid, peaks.confidence, 0.0), axis=-1)
+        return PipelineOutput(
+            peaks=peaks,
+            correlation=corr,
+            pair_weights=weights,
+            fix=fix,
+            buoy_confidence=buoy_conf,
+        )
+
+    def _step_split_multidwell(
+        self, re: jnp.ndarray, im: jnp.ndarray, anchors_enu: jnp.ndarray
+    ) -> PipelineOutput:
+        """Narrowband split-complex path: dwell-averaged PSD detection +
+        one coherent full-capture correlation (see ``correlation_dwells``).
+        Uses the generic split GCC (the fused CT kernel's length planner
+        targets single-dwell flagship sizes)."""
+        c = self.config
+        k, n = c.correlation_dwells, c.block_len
+        red = re.reshape(*re.shape[:-1], k, n)
+        imd = im.reshape(*im.shape[:-1], k, n)
+        power_db = (
+            10.0
+            * jnp.log10(
+                jnp.mean(
+                    10.0 ** (sc_ops.power_spectrum_db_split(red, imd) / 10.0),
+                    axis=-2,
+                )
+                + 1e-30
+            )
+            + c.power_offset_db
+        )
+        peaks = detect_ops.detect_peaks(
+            power_db,
+            sample_rate_hz=c.sample_rate_hz,
+            max_peaks=c.max_peaks,
+            threshold_db=c.detection_threshold_db,
+            noise_floor_stride=c.noise_floor_stride,
+        )
+        corr_sc = sc_ops.gcc_phat_all_pairs_split(
+            re, im,
+            sample_rate_hz=c.sample_rate_hz,
+            max_lag=c.max_lag,
+            weighting=c.weighting,
+            eps=c.gcc_eps,
+        )
         corr = gcc_ops.CorrelationPeak(
             lag_samples=corr_sc.lag_samples,
             tau_s=corr_sc.tau_s,

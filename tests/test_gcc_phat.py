@@ -133,3 +133,27 @@ def test_max_lag_window_excludes_far_peaks():
     )
     # True lag outside the window: result must stay inside ±max_lag.
     assert abs(float(peak.lag_samples)) <= 50.0
+
+
+def test_coherent_blocks_match_single_for_stationary():
+    """Cross-spectrum dwell averaging (memory-light path) recovers the same
+    lag as one long correlation for a stationary band-limited signal."""
+    n_total, true_lag = 65_536, 17.4
+    # wideband (sharp correlation lobe): the op's documented scope —
+    # narrowband swept signals belong to the long-correlation path
+    x, y = _delayed_pair(true_lag, n=n_total, snr_db=10.0, bw=500e3, seed=5)
+    sig = jnp.asarray(np.stack([x, y]), jnp.complex64)[None]  # [1, 2, N]
+    one = gcc_phat.gcc_phat_all_pairs(sig, sample_rate_hz=FS, max_lag=256)
+    coh = gcc_phat.gcc_phat_all_pairs_coherent(
+        sig, sample_rate_hz=FS, max_lag=256, num_blocks=8
+    )
+    assert abs(float(one.lag_samples[0, 0]) - true_lag) < 0.2
+    assert abs(float(coh.lag_samples[0, 0]) - true_lag) < 0.2
+
+
+def test_coherent_blocks_validates_divisibility():
+    sig = jnp.zeros((2, 1000), jnp.complex64)
+    with pytest.raises(ValueError):
+        gcc_phat.gcc_phat_all_pairs_coherent(
+            sig, sample_rate_hz=FS, max_lag=16, num_blocks=3
+        )
