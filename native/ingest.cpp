@@ -23,6 +23,7 @@
 #include <sys/socket.h>
 #include <unistd.h>
 
+#include <algorithm>
 #include <atomic>
 #include <chrono>
 #include <condition_variable>
@@ -109,12 +110,56 @@ struct TcpSource : Source {
 };
 
 // Deterministic uint8 noise generator — hardware-free load testing.
+// Fills by 64-bit xorshift words (8 bytes per state update) so the
+// generator sustains multi-GB/s: it must be able to model the aggregate
+// byte rate of hundreds of 2.4 MS/s receivers (SURVEY §7 hard-part (c)),
+// not become the bottleneck itself.
 struct SyntheticSource : Source {
-  std::mt19937 rng;
-  explicit SyntheticSource(uint32_t seed) : rng(seed) {}
+  uint64_t state;
+  explicit SyntheticSource(uint32_t seed) : state(seed * 0x9E3779B97F4A7C15ull | 1) {}
   ssize_t pull(uint8_t* out, size_t n) override {
-    for (size_t i = 0; i < n; i++) out[i] = static_cast<uint8_t>(rng());
+    size_t i = 0;
+    for (; i + 8 <= n; i += 8) {
+      state ^= state << 13;
+      state ^= state >> 7;
+      state ^= state << 17;
+      std::memcpy(out + i, &state, 8);
+    }
+    for (; i < n; i++) out[i] = static_cast<uint8_t>(state >> (8 * (i & 7)));
     return static_cast<ssize_t>(n);
+  }
+};
+
+// Rate-paced wrapper: produces at most `bytes_per_s`, modelling a real
+// SDR front-end's fixed sample clock (librtlsdr delivers at the tuned
+// rate, `Code/src/librtlsdr.c:1075-1126`). With pacing, ring drops are a
+// REAL signal — drops == 0 means the consumer kept up with real time —
+// which is exactly the reference's `rtl_test` drop criterion
+// (`Code/src/rtl_test.c:109-135`).
+struct PacedSource : Source {
+  std::unique_ptr<Source> inner;
+  double bytes_per_s;
+  std::chrono::steady_clock::time_point start;
+  uint64_t produced = 0;
+  PacedSource(std::unique_ptr<Source> in, double rate)
+      : inner(std::move(in)), bytes_per_s(rate),
+        start(std::chrono::steady_clock::now()) {}
+  ssize_t pull(uint8_t* out, size_t n) override {
+    double elapsed =
+        std::chrono::duration<double>(std::chrono::steady_clock::now() - start)
+            .count();
+    uint64_t budget = static_cast<uint64_t>(elapsed * bytes_per_s);
+    if (produced >= budget) {
+      double wait_s = (produced + n - budget) / bytes_per_s;
+      std::this_thread::sleep_for(std::chrono::duration<double>(
+          std::min(wait_s, 0.010)));
+      return 0;  // stall (producer loop retries)
+    }
+    size_t allowed = static_cast<size_t>(
+        std::min<uint64_t>(n, budget - produced));
+    ssize_t got = inner->pull(out, allowed);
+    if (got > 0) produced += static_cast<uint64_t>(got);
+    return got;
   }
 };
 
@@ -202,6 +247,17 @@ int rmt_ingest_open_synthetic(unsigned seed, size_t ring_bytes,
                               size_t chunk_bytes) {
   return rmt::register_handle(std::make_unique<rmt::Ingest>(
       std::make_unique<rmt::SyntheticSource>(seed), ring_bytes, chunk_bytes));
+}
+
+// Synthetic source paced to bytes_per_s — models a real SDR sample clock
+// so ring drop accounting becomes the real-time criterion (rtl_test's
+// drop benchmark, `Code/src/rtl_test.c:109-135`).
+int rmt_ingest_open_synthetic_paced(unsigned seed, double bytes_per_s,
+                                    size_t ring_bytes, size_t chunk_bytes) {
+  auto src = std::make_unique<rmt::PacedSource>(
+      std::make_unique<rmt::SyntheticSource>(seed), bytes_per_s);
+  return rmt::register_handle(std::make_unique<rmt::Ingest>(
+      std::move(src), ring_bytes, chunk_bytes));
 }
 
 // Blocking read of exactly nbytes (or fewer on timeout/EOF). Returns bytes

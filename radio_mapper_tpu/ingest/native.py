@@ -71,6 +71,10 @@ def load_library() -> ctypes.CDLL:
     lib.rmt_ingest_open_tcp.restype = ctypes.c_int
     lib.rmt_ingest_open_synthetic.argtypes = [ctypes.c_uint, ctypes.c_size_t, ctypes.c_size_t]
     lib.rmt_ingest_open_synthetic.restype = ctypes.c_int
+    lib.rmt_ingest_open_synthetic_paced.argtypes = [
+        ctypes.c_uint, ctypes.c_double, ctypes.c_size_t, ctypes.c_size_t,
+    ]
+    lib.rmt_ingest_open_synthetic_paced.restype = ctypes.c_int
     lib.rmt_ingest_read.argtypes = [
         ctypes.c_int, ctypes.POINTER(ctypes.c_uint8), ctypes.c_size_t,
         ctypes.c_int, ctypes.POINTER(ctypes.c_int64),
@@ -112,6 +116,21 @@ class NativeIngest:
     def open_synthetic(cls, seed: int = 0, *, ring_bytes: int = 1 << 22, chunk_bytes: int = 1 << 16):
         lib = load_library()
         return cls(lib.rmt_ingest_open_synthetic(seed, ring_bytes, chunk_bytes))
+
+    @classmethod
+    def open_synthetic_paced(
+        cls, seed: int = 0, *, bytes_per_s: float,
+        ring_bytes: int = 1 << 24, chunk_bytes: int = 1 << 16,
+    ):
+        """Synthetic source paced to a fixed byte rate (a virtual SDR
+        clock): with pacing, ``stats()['bytes_dropped'] == 0`` is the
+        real-time criterion (`Code/src/rtl_test.c:109-135`)."""
+        lib = load_library()
+        return cls(
+            lib.rmt_ingest_open_synthetic_paced(
+                seed, float(bytes_per_s), ring_bytes, chunk_bytes
+            )
+        )
 
     def read_bytes(self, nbytes: int, timeout_ms: int = 2000) -> Tuple[np.ndarray, int]:
         out = np.empty(nbytes, np.uint8)

@@ -173,6 +173,28 @@ def _fft_rows_kernel(
     oim_ref[:] = unpack(dim)
 
 
+
+
+def _sds(shape, dtype, vma=None):
+    """ShapeDtypeStruct with optional varying-mesh-axes annotation.
+
+    Inside `jax.shard_map(..., check_vma=True)` a pallas_call must declare
+    which mesh axes its outputs vary over (they inherit nothing)."""
+    if vma is None:
+        return jax.ShapeDtypeStruct(shape, dtype)
+    return jax.ShapeDtypeStruct(shape, dtype, vma=frozenset(vma))
+
+
+def _lift(a, vma=None):
+    """Mark a replicated constant as varying over ``vma`` mesh axes.
+
+    Under check_vma, the kernel body (esp. interpret-mode tracing) mixes
+    DFT constants with shard-varying data; `jax.lax.pcast` aligns them."""
+    a = jnp.asarray(a)
+    if vma:
+        a = jax.lax.pcast(a, tuple(vma), to="varying")
+    return a
+
 def fft_rows(
     re: jnp.ndarray,
     im: jnp.ndarray,
@@ -396,6 +418,7 @@ def fft_rows_ct(
     *,
     rows_per_block: Optional[int] = None,
     interpret: Optional[bool] = None,
+    vma=None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Batched forward FFT emitting CT-order bins (see module note).
 
@@ -448,15 +471,15 @@ def fft_rows_ct(
         ],
         out_specs=[row_spec, row_spec],
         out_shape=[
-            jax.ShapeDtypeStruct((padded, n), jnp.float32),
-            jax.ShapeDtypeStruct((padded, n), jnp.float32),
+            _sds((padded, n), jnp.float32, vma),
+            _sds((padded, n), jnp.float32, vma),
         ],
         interpret=interpret,
     )(
         re2, im2,
-        jnp.asarray(w1re), jnp.asarray(w1im),
-        jnp.asarray(w2re), jnp.asarray(w2im),
-        jnp.asarray(twre), jnp.asarray(twim),
+        _lift(w1re, vma), _lift(w1im, vma),
+        _lift(w2re, vma), _lift(w2im, vma),
+        _lift(twre, vma), _lift(twim, vma),
     )
     out_re = out_re[:batch].reshape(*batch_shape, n)
     out_im = out_im[:batch].reshape(*batch_shape, n)

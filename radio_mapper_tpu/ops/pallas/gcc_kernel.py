@@ -179,6 +179,7 @@ def gcc_pair_lag_mags(
     weighting: str = "phat",
     pair_chunk: int = DEFAULT_PAIR_CHUNK,
     interpret: Optional[bool] = None,
+    vma=None,
 ) -> jnp.ndarray:
     """Correlation-magnitude lag windows for all pairs.
 
@@ -226,7 +227,7 @@ def gcc_pair_lag_mags(
         pl.BlockSpec(a.shape, lambda i: (0, 0), memory_space=pltpu.VMEM)
         for a in const_arrays
     ]
-    consts = tuple(jnp.asarray(a) for a in const_arrays)
+    consts = tuple(fft_kernel._lift(a, vma) for a in const_arrays)
 
     outs = []
     for pairs, m_real in _pair_chunks(pair_i, pair_j, pair_chunk):
@@ -245,8 +246,8 @@ def gcc_pair_lag_mags(
             in_specs=[spec_spec, spec_spec] + const_specs,
             out_specs=[out_spec(nneg * n1), out_spec(npos * n1)],
             out_shape=[
-                jax.ShapeDtypeStruct((c * m, nneg * n1), jnp.float32),
-                jax.ShapeDtypeStruct((c * m, npos * n1), jnp.float32),
+                fft_kernel._sds((c * m, nneg * n1), jnp.float32, vma),
+                fft_kernel._sds((c * m, npos * n1), jnp.float32, vma),
             ],
             interpret=interpret,
         )(sre, sim, *consts)

@@ -244,7 +244,7 @@ def gcc_fused_enabled(min_len: int, weighting: str) -> bool:
 
 
 def receiver_spectra_ct(
-    sig_re: jnp.ndarray, sig_im: jnp.ndarray, *, max_lag: int
+    sig_re: jnp.ndarray, sig_im: jnp.ndarray, *, max_lag: int, vma=None
 ) -> Tuple[jnp.ndarray, jnp.ndarray, int]:
     """Padded per-receiver CT-order spectra for the fused GCC path.
 
@@ -262,7 +262,7 @@ def receiver_spectra_ct(
         raise ValueError(f"max_lag {max_lag} must be < block length {n}")
     nfft = gcc_kernel.plan_nfft(n + max_lag)
     pad = lambda a: jnp.pad(a, [(0, 0)] * (a.ndim - 1) + [(0, nfft - n)])
-    fr, fi = fft_kernel.fft_rows_ct(pad(sig_re), pad(sig_im))
+    fr, fi = fft_kernel.fft_rows_ct(pad(sig_re), pad(sig_im), vma=vma)
     return fr, fi, nfft
 
 

@@ -101,10 +101,27 @@ def build_pair_ep_step(mesh: Mesh, config: PairEPConfig, *, axis: str = "pair"):
     pair_j_tbl = jnp.asarray(pair_j)
     valid_tbl = jnp.asarray(np.arange(p_pad) < p_real, jnp.float32)
 
+    # Fused-kernel routing (VERDICT r2 item 8): on TPU the whiten × iFFT ×
+    # lag-window stage runs as the Pallas CT-order pair kernel. Its pair
+    # table must be STATIC, but the EP pair slice varies per shard — so the
+    # one-hot matmul gather below materializes this shard's X/Y spectra,
+    # stacks them as 2·P_loc pseudo-receivers, and hands the kernel the
+    # static table (k, P_loc+k). HBM still saves the R, whitened-R and
+    # full-length iFFT arrays per pair (~3 of the ~5 the kernel elides in
+    # the dense all-pairs case).
+    from radio_mapper_tpu.ops import split_complex as sc_ops
+
+    use_fused = sc_ops.gcc_fused_enabled(cfg.block_len + cfg.max_lag, cfg.weighting)
+
     def local_step(re_l, im_l, anchors, pi_l, pj_l, valid_l):
         # re_l/im_l: [B/n, N] — this shard's receivers.
-        pad = [(0, 0), (0, nfft - cfg.block_len)]
-        fr_l, fi_l = fft_ops.fft_re_im(jnp.pad(re_l, pad), jnp.pad(im_l, pad))
+        if use_fused:
+            fr_l, fi_l, nfft_ct = sc_ops.receiver_spectra_ct(
+                re_l, im_l, max_lag=cfg.max_lag, vma=(axis,)
+            )
+        else:
+            pad = [(0, 0), (0, nfft - cfg.block_len)]
+            fr_l, fi_l = fft_ops.fft_re_im(jnp.pad(re_l, pad), jnp.pad(im_l, pad))
         # Share spectra: B·nfft over ICI (B ≪ P — the cheap all_gather).
         fr = jax.lax.all_gather(fr_l, axis, tiled=True)  # [B, nfft]
         fi = jax.lax.all_gather(fi_l, axis, tiled=True)
@@ -120,19 +137,34 @@ def build_pair_ep_step(mesh: Mesh, config: PairEPConfig, *, axis: str = "pair"):
         xfr, xfi = take(hi, fr), take(hi, fi)
         yfr, yfi = take(hj, fr), take(hj, fi)
 
-        # R = X·conj(Y), PHAT whitening (per-pair max gate).
-        rre = xfr * yfr + xfi * yfi
-        rim = xfi * yfr - xfr * yfi
-        if cfg.weighting == "phat":
-            mag = jnp.sqrt(rre * rre + rim * rim)
-            scale = jnp.max(mag, axis=-1, keepdims=True)
-            denom = mag + cfg.gcc_eps * scale + 1e-30
-            rre, rim = rre / denom, rim / denom
-        cre, cim = fft_ops.fft_re_im(rre, -rim)
-        cre, cim = cre / nfft, -cim / nfft  # ifft via conj trick
         L = cfg.max_lag
-        win = lambda a: jnp.concatenate([a[..., nfft - L :], a[..., : L + 1]], -1)
-        m = jnp.sqrt(win(cre) ** 2 + win(cim) ** 2)
+        if use_fused:
+            from radio_mapper_tpu.ops.pallas import gcc_kernel
+
+            p_loc_local = xfr.shape[0]
+            m = gcc_kernel.gcc_pair_lag_mags(
+                jnp.concatenate([xfr, yfr], axis=0),
+                jnp.concatenate([xfi, yfi], axis=0),
+                np.arange(p_loc_local, dtype=np.int32),
+                np.arange(p_loc_local, dtype=np.int32) + p_loc_local,
+                max_lag=L,
+                eps=cfg.gcc_eps,
+                weighting=cfg.weighting,
+                vma=(axis,),
+            )
+        else:
+            # R = X·conj(Y), PHAT whitening (per-pair max gate).
+            rre = xfr * yfr + xfi * yfi
+            rim = xfi * yfr - xfr * yfi
+            if cfg.weighting == "phat":
+                mag = jnp.sqrt(rre * rre + rim * rim)
+                scale = jnp.max(mag, axis=-1, keepdims=True)
+                denom = mag + cfg.gcc_eps * scale + 1e-30
+                rre, rim = rre / denom, rim / denom
+            cre, cim = fft_ops.fft_re_im(rre, -rim)
+            cre, cim = cre / nfft, -cim / nfft  # ifft via conj trick
+            win = lambda a: jnp.concatenate([a[..., nfft - L :], a[..., : L + 1]], -1)
+            m = jnp.sqrt(win(cre) ** 2 + win(cim) ** 2)
         pk = gcc_ops.peaks_from_lag_mags(
             m, sample_rate_hz=cfg.sample_rate_hz, max_lag=L
         )
@@ -163,7 +195,13 @@ def build_pair_ep_step(mesh: Mesh, config: PairEPConfig, *, axis: str = "pair"):
         # really are device-invariant (every update flows through psum in
         # solve_tdoa_impl) — re-enabled per VERDICT r2 weak-6 by calling
         # the un-jitted solver and keeping its EP-mode LM carry untainted.
-        check_vma=True,
+        # Exception: the fused-kernel routing must disable it — pallas
+        # interpret mode (CPU tests) initializes its internal grid-loop
+        # carries without vma annotations, which the checker rejects; the
+        # fused-vs-unfused parity test (test_pair_ep.py) is the explicit
+        # regression guard for that routing, and the unfused path keeps
+        # the static check.
+        check_vma=not use_fused,
     )
 
     def step(re, im, anchors):

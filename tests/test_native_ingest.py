@@ -169,3 +169,81 @@ def test_ring_under_sanitizers():
         combined = res.stdout + res.stderr
         assert "WARNING: ThreadSanitizer" not in combined, combined
         assert "ERROR: AddressSanitizer" not in combined, combined
+
+
+def test_paced_source_keeps_real_time_without_drops():
+    """Paced virtual SDR clock: a consumer that keeps up sees zero drops
+    (the reference's rtl_test drop criterion, `rtl_test.c:109-135`)."""
+    ing = native.NativeIngest.open_synthetic_paced(
+        seed=3, bytes_per_s=50e6, ring_bytes=1 << 22
+    )
+    try:
+        total = 0
+        while total < 20_000_000:
+            chunk, _ = ing.read_bytes(1 << 20, timeout_ms=3000)
+            assert chunk.size > 0
+            total += chunk.size
+        stats = ing.stats()
+        assert stats["bytes_dropped"] == 0
+        assert stats["error"] == 0
+    finally:
+        ing.close()
+
+
+def test_drop_accounting_fires_when_consumer_stalls():
+    """Negative control: an unpaced producer into a tiny ring with a
+    stalled consumer must record drops (write_overwrite semantics)."""
+    import time
+
+    ing = native.NativeIngest.open_synthetic(seed=4, ring_bytes=1 << 16)
+    try:
+        time.sleep(0.2)  # producer free-runs; consumer reads nothing
+        stats = ing.stats()
+        assert stats["bytes_dropped"] > 0
+    finally:
+        ing.close()
+
+
+def test_ingest_loop_end_to_end_real_time_cpu():
+    """Ring → double-buffered host→device → jitted uint8 pipeline, the
+    ingest-closed loop (VERDICT r2 item 1), at a rate the CPU sustains:
+    drops must be zero and every step must produce a position fix."""
+    import jax
+    import numpy as np
+
+    from radio_mapper_tpu.ingest.runner import IngestLoop
+    from radio_mapper_tpu.models.pipeline import PipelineConfig, TDOAPipeline
+
+    channels, buoys, block = 2, 4, 8192
+    # modest virtual clock: 4 MS/s aggregate → 8 MB/s of bytes
+    rate_samples = 4_000_000.0
+    pipe = TDOAPipeline(
+        PipelineConfig(
+            num_buoys=buoys, block_len=block,
+            sample_rate_hz=2_048_000.0, max_lag=128,
+            solver_iterations=10,
+        )
+    )
+    rng = np.random.default_rng(0)
+    anchors = rng.normal(scale=5_000.0, size=(buoys, 3)).astype(np.float32)
+    anchors = jax.device_put(np.broadcast_to(anchors, (channels, buoys, 3)).copy())
+    loop = IngestLoop(
+        pipe.jit_step_split_uint8(), None,
+        channels=channels, num_buoys=buoys, block_len=block,
+        anchors=anchors, source_samples_per_s=rate_samples,
+    )
+    # compile BEFORE the paced clock starts, else compile time fills the
+    # ring and shows up as spurious drops
+    loop.warm_compile()
+    ing = native.NativeIngest.open_synthetic_paced(
+        seed=5, bytes_per_s=2 * rate_samples, ring_bytes=1 << 24
+    )
+    loop.ingest = ing
+    try:
+        stats = loop.run(num_steps=8, warmup_steps=0)
+        assert stats.drops == 0, stats
+        assert stats.sustained_samples_per_s > 0
+        # consumer paced by the source ⇒ sustained ≈ source rate
+        assert stats.real_time_ratio > 0.8, stats
+    finally:
+        ing.close()
