@@ -260,3 +260,147 @@ def gcc_pair_lag_mags(
         outs.append(window.reshape(c, m, 2 * max_lag + 1)[:, :m_real])
     window = jnp.concatenate(outs, axis=-2)  # [c, P, 2L+1]
     return window.reshape(*batch_shape, len(pair_i), 2 * max_lag + 1)
+
+
+def _gcc_rows_kernel(
+    xre_ref, xim_ref, yre_ref, yim_ref,
+    w1re_ref, w1im_ref, w2re_ref, w2im_ref, twre_ref, twim_ref,
+    oneg_ref, opos_ref,
+    *,
+    rows: int,
+    n1: int,
+    n2: int,
+    nneg: int,
+    npos: int,
+    eps: float,
+    whiten: bool,
+):
+    """Row-aligned variant of :func:`_gcc_pairs_kernel`: row k of X pairs
+    with row k of Y — no static gather, so the grid tiles over PAIR ROWS
+    and VMEM stays bounded at ``rows`` spectra regardless of how many
+    pairs the caller has (the dense-gather kernel maps ALL receiver rows
+    per cell, which OOMs VMEM when the "receivers" are thousands of
+    pair-EP pseudo-rows)."""
+    m = rows
+    dot = fft_kernel.kernel_dot()
+    dn = (((1,), (0,)), ((), ()))
+    n = n1 * n2
+
+    xre, xim = xre_ref[:], xim_ref[:]
+    yre, yim = yre_ref[:], yim_ref[:]
+    rre = xre * yre + xim * yim
+    rim = xim * yre - xre * yim
+
+    if whiten:
+        mag = jnp.sqrt(rre * rre + rim * rim)
+        scale = jnp.max(mag, axis=-1, keepdims=True)
+        denom = mag + eps * scale + 1e-30
+        rre = rre / denom
+        rim = rim / denom
+
+    rre = rre.reshape(m * n2, n1)
+    rim = rim.reshape(m * n2, n1)
+    w1re, w1im = w1re_ref[:], w1im_ref[:]
+    ere = dot(rre, w1re, dn) - dot(rim, w1im, dn)
+    eim = dot(rre, w1im, dn) + dot(rim, w1re, dn)
+
+    twre = jnp.concatenate([twre_ref[:]] * m, axis=0)
+    twim = jnp.concatenate([twim_ref[:]] * m, axis=0)
+    cre = ere * twre - eim * twim
+    cim = ere * twim + eim * twre
+
+    regroup = lambda c: jnp.transpose(
+        c.reshape(m, n2, n1), (1, 0, 2)
+    ).reshape(n2, m * n1)
+    cre, cim = regroup(cre), regroup(cim)
+    w2re, w2im = w2re_ref[:], w2im_ref[:]
+    zre = dot(w2re, cre, dn) - dot(w2im, cim, dn)
+    zim = dot(w2re, cim, dn) + dot(w2im, cre, dn)
+
+    unpack = lambda z: jnp.transpose(z.reshape(n2, m, n1), (1, 0, 2))
+    zre, zim = unpack(zre), unpack(zim)
+    magz = jnp.sqrt(zre * zre + zim * zim) * (1.0 / n)
+
+    oneg_ref[:] = magz[:, n2 - nneg :, :].reshape(m, nneg * n1)
+    opos_ref[:] = magz[:, :npos, :].reshape(m, npos * n1)
+
+
+def gcc_rows_lag_mags(
+    xre: jnp.ndarray,
+    xim: jnp.ndarray,
+    yre: jnp.ndarray,
+    yim: jnp.ndarray,
+    *,
+    max_lag: int,
+    eps: float = 0.05,
+    weighting: str = "phat",
+    rows_chunk: int = DEFAULT_PAIR_CHUNK,
+    interpret: Optional[bool] = None,
+    vma=None,
+) -> jnp.ndarray:
+    """Correlation-magnitude lag windows for row-aligned pair spectra.
+
+    Args:
+      xre/xim, yre/yim: ``[P, nfft]`` CT-order spectra; pair k correlates
+        X row k against Y row k (R = X·conj(Y)).
+    Returns:
+      ``[P, 2·max_lag+1]`` float32 |r| at lags −max_lag..+max_lag.
+
+    The pair-EP path uses this: its per-shard pair slice is dynamic, so
+    the one-hot matmul gather materializes X/Y row-aligned and this
+    kernel fuses the whiten × inverse × window stage with VMEM bounded by
+    ``rows_chunk``, not the pair count.
+    """
+    if weighting not in WEIGHTINGS:
+        raise ValueError(f"fused GCC supports {WEIGHTINGS}, not {weighting!r}")
+    nfft = xre.shape[-1]
+    p = xre.shape[0]
+    n1, n2, w1re, w1im, w2re, w2im, twre, twim = fft_kernel.ct_constants(
+        nfft, inverse=True
+    )
+    if max_lag >= nfft // 2:
+        raise ValueError(f"max_lag {max_lag} too large for nfft {nfft}")
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+
+    nneg = -(-max_lag // n1)
+    npos = max_lag // n1 + 1
+
+    chunk = max(8, -(-rows_chunk // 8) * 8)
+    p_pad = -(-p // chunk) * chunk
+    if p_pad != p:
+        padw = ((0, p_pad - p), (0, 0))
+        xre, xim = jnp.pad(xre, padw), jnp.pad(xim, padw)
+        yre, yim = jnp.pad(yre, padw), jnp.pad(yim, padw)
+
+    row_spec = pl.BlockSpec((chunk, nfft), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    const_arrays = (w1re, w1im, w2re, w2im, twre, twim)
+    const_specs = [
+        pl.BlockSpec(a.shape, lambda i: (0, 0), memory_space=pltpu.VMEM)
+        for a in const_arrays
+    ]
+    consts = tuple(fft_kernel._lift(a, vma) for a in const_arrays)
+
+    kernel = functools.partial(
+        _gcc_rows_kernel,
+        rows=chunk, n1=n1, n2=n2, nneg=nneg, npos=npos,
+        eps=eps, whiten=(weighting == "phat"),
+    )
+    out_spec = lambda w: pl.BlockSpec(
+        (chunk, w), lambda i: (i, 0), memory_space=pltpu.VMEM
+    )
+    oneg, opos = pl.pallas_call(
+        kernel,
+        grid=(p_pad // chunk,),
+        in_specs=[row_spec] * 4 + const_specs,
+        out_specs=[out_spec(nneg * n1), out_spec(npos * n1)],
+        out_shape=[
+            fft_kernel._sds((p_pad, nneg * n1), jnp.float32, vma),
+            fft_kernel._sds((p_pad, npos * n1), jnp.float32, vma),
+        ],
+        interpret=interpret,
+    )(xre, xim, yre, yim, *consts)
+    window = jnp.concatenate(
+        [oneg[..., nneg * n1 - max_lag :], opos[..., : max_lag + 1]], axis=-1
+    )
+    return window[:p]

@@ -141,12 +141,12 @@ def build_pair_ep_step(mesh: Mesh, config: PairEPConfig, *, axis: str = "pair"):
         if use_fused:
             from radio_mapper_tpu.ops.pallas import gcc_kernel
 
-            p_loc_local = xfr.shape[0]
-            m = gcc_kernel.gcc_pair_lag_mags(
-                jnp.concatenate([xfr, yfr], axis=0),
-                jnp.concatenate([xfi, yfi], axis=0),
-                np.arange(p_loc_local, dtype=np.int32),
-                np.arange(p_loc_local, dtype=np.int32) + p_loc_local,
+            # Row-aligned kernel: pair k = X row k × conj(Y row k); the
+            # grid tiles pair rows so VMEM is bounded by the chunk size,
+            # not P_loc (the dense-gather kernel maps every row per cell
+            # and OOMs VMEM at thousands of EP pairs — probed on-chip).
+            m = gcc_kernel.gcc_rows_lag_mags(
+                xfr, xfi, yfr, yfi,
                 max_lag=L,
                 eps=cfg.gcc_eps,
                 weighting=cfg.weighting,

@@ -1,21 +1,37 @@
-"""Per-stage on-chip timing: detect / correlate / solve / full step.
+"""Per-stage on-chip cost breakdown of the flagship fused step.
 
-Run on the target TPU (slow first compiles over the tunnel are normal):
+VERDICT r2 item 2: nobody can optimize what isn't measured per-stage.
+Isolates, at the bench's headline shape (default 128 ch × 8 × 16384,
+max_lag 512, fused-GCC routing):
 
-    PYTHONPATH=/root/.axon_site:. nohup python tools/chip_profile.py \
-        > /tmp/chip_profile.log 2>&1 &
+    dispatch floor      — trivial program, chained (per-dispatch overhead)
+    forward CT-FFT      — fft_rows_ct over all receiver rows
+    detect              — CT power un-permute + median floor + top-k
+    fused pair stage    — whiten × inverse × lag-window Pallas kernel
+                          (given precomputed spectra)
+    solve               — LM scan
+    FULL step           — everything (the bench program)
 
-Prints one line per stage with per-step latency and the implied
-samples/s/chip, so optimization effort goes where the time is.
+Methodology (docs/PROBES.md): per-call sync is unreliable on the remote
+backend, so each timing is an epoch of chained dispatches closed by ONE
+derived-scalar fetch; stages are timed round-robin over several rounds so
+tunnel drift cancels in the ranking; median per stage is reported.
+
+Run:  nohup python tools/chip_profile.py > /tmp/chip_profile.log 2>&1 &
 """
 
+import json
+import os
 import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
 
 
-def main(num_channels=32, num_buoys=8, block_len=16_384, max_lag=512, iters=8):
+def main(num_channels=128, num_buoys=8, block_len=16_384, max_lag=512,
+         iters=20, rounds=3):
     import jax
     import jax.numpy as jnp
 
@@ -24,65 +40,126 @@ def main(num_channels=32, num_buoys=8, block_len=16_384, max_lag=512, iters=8):
     from radio_mapper_tpu.ops import detect as detect_ops
     from radio_mapper_tpu.ops import split_complex as sc_ops
 
+    print(f"# backend: {jax.default_backend()}", flush=True)
     pipe = TDOAPipeline(
         PipelineConfig(
             num_buoys=num_buoys, block_len=block_len,
             sample_rate_hz=2_400_000.0, max_lag=max_lag, solver_iterations=25,
         )
     )
+    c = pipe.config
     re, im, anchors = pipe.example_inputs(batch=(num_channels,), seed=0, split=True)
-    # Pre-stage on device: otherwise every timed call pays the host→HBM
-    # transfer (~3 ms for 33 MB over the tunnel), swamping the stage costs.
     re, im, anchors = jax.device_put((re, im, anchors))
     samples = num_channels * num_buoys * block_len
 
-    def timeit(name, fn, *args):
-        f = jax.jit(fn)
-        args = jax.device_put(args)
-        out = f(*args)
-        jax.block_until_ready(out)
-        t0 = time.perf_counter()
-        for _ in range(iters):
-            out = f(*args)
-        jax.block_until_ready(out)
-        dt = (time.perf_counter() - t0) / iters
-        print(
-            f"{name:28s} {dt*1e3:8.2f} ms/step   {samples/dt/1e6:9.1f} MS/s",
-            flush=True,
-        )
-        return out
+    def force(out):
+        total = None
+        for leaf in jax.tree_util.tree_leaves(out):
+            s = jnp.sum(leaf.astype(jnp.float32))
+            total = s if total is None else total + s
+        return float(np.asarray(total))
 
-    c = pipe.config
+    # --- stage programs (compile once each) -----------------------------
+    fused = sc_ops.gcc_fused_enabled(block_len + max_lag, c.weighting)
+    print(f"# fused routing: {fused}", flush=True)
 
-    def spectra_only(re, im):
-        return sc_ops.receiver_spectra_split(re, im, max_lag=c.max_lag)[0]
+    def fwd_ct(re, im):
+        return sc_ops.receiver_spectra_ct(re, im, max_lag=c.max_lag)[:2]
 
-    def detect_only(re, im):
-        power_db = sc_ops.power_spectrum_db_split(re, im)
+    def detect_from_ct(fr, fi):
+        power_db = sc_ops.ct_power_db(fr, fi) + c.power_offset_db
         return detect_ops.detect_peaks(
-            power_db, sample_rate_hz=c.sample_rate_hz, max_peaks=c.max_peaks
+            power_db, sample_rate_hz=c.sample_rate_hz, max_peaks=c.max_peaks,
+            noise_floor_stride=c.noise_floor_stride,
         )
 
-    def gcc_only(re, im):
-        return sc_ops.gcc_phat_all_pairs_split(
-            re, im, sample_rate_hz=c.sample_rate_hz, max_lag=c.max_lag
+    def pair_from_ct(re, im, fr, fi):
+        from radio_mapper_tpu.ops.pallas import gcc_kernel
+
+        nfft = gcc_kernel.plan_nfft(block_len + max_lag)
+        return sc_ops.gcc_phat_all_pairs_split_fused(
+            re, im, sample_rate_hz=c.sample_rate_hz, max_lag=c.max_lag,
+            weighting=c.weighting, eps=c.gcc_eps, spectra=(fr, fi, nfft),
         )
 
-    corr = gcc_only(re, im)
-    dd = np.asarray(solver.tau_to_distance_difference(corr.tau_s))
+    def dispatch_floor(x):
+        return x + 1.0
+
+    stages = {}
+    t0 = time.time()
+    tiny = jax.device_put(np.zeros((8, 128), np.float32))
+    floor_fn = jax.jit(dispatch_floor)
+    force(floor_fn(tiny))
+    stages["dispatch_floor"] = (floor_fn, (tiny,))
+    print(f"# floor compile {time.time()-t0:.1f}s", flush=True)
+
+    t0 = time.time()
+    fwd_fn = jax.jit(fwd_ct)
+    fr, fi = fwd_fn(re, im)
+    force((fr, fi))
+    stages["forward_ct_fft"] = (fwd_fn, (re, im))
+    print(f"# forward compile {time.time()-t0:.1f}s", flush=True)
+
+    t0 = time.time()
+    det_fn = jax.jit(detect_from_ct)
+    force(det_fn(fr, fi))
+    stages["detect_from_ct"] = (det_fn, (fr, fi))
+    print(f"# detect compile {time.time()-t0:.1f}s", flush=True)
+
+    t0 = time.time()
+    pair_fn = jax.jit(pair_from_ct)
+    corr = pair_fn(re, im, fr, fi)
+    force(corr)
+    stages["fused_pair_stage"] = (pair_fn, (re, im, fr, fi))
+    print(f"# pair compile {time.time()-t0:.1f}s", flush=True)
+
+    dd = jax.device_put(
+        np.asarray(solver.tau_to_distance_difference(corr.tau_s), np.float32)
+    )
 
     def solve_only(dd, anchors):
         return solver.solve_tdoa(
             anchors, pipe.pair_i, pipe.pair_j, dd, iterations=c.solver_iterations
         )
 
-    print(f"# {num_channels}ch x {num_buoys}buoys x {block_len} samples", flush=True)
-    timeit("receiver_spectra (FFTs)", spectra_only, re, im)
-    timeit("detect (FFT+median+topk)", detect_only, re, im)
-    timeit("gcc_all_pairs (full)", gcc_only, re, im)
-    timeit("solver (LM scan)", solve_only, jnp.asarray(dd), anchors)
-    timeit("FULL step_split", pipe.step_split, re, im, anchors)
+    t0 = time.time()
+    solve_fn = jax.jit(solve_only)
+    force(solve_fn(dd, anchors))
+    stages["solve_lm"] = (solve_fn, (dd, anchors))
+    print(f"# solve compile {time.time()-t0:.1f}s", flush=True)
+
+    t0 = time.time()
+    full_fn = pipe.jit_step_split()
+    force(full_fn(re, im, anchors))
+    stages["FULL_step"] = (full_fn, (re, im, anchors))
+    print(f"# full compile {time.time()-t0:.1f}s", flush=True)
+
+    # --- round-robin fetch-closed timing --------------------------------
+    times = {k: [] for k in stages}
+    for _ in range(rounds):
+        for name, (fn, args) in stages.items():
+            t0 = time.perf_counter()
+            outs = [fn(*args) for _ in range(iters)]
+            force(outs[-1])  # chained dispatches serialize on-device
+            times[name].append((time.perf_counter() - t0) / iters)
+
+    result = {}
+    for name, ts in times.items():
+        ms = float(np.median(ts)) * 1e3
+        result[name] = round(ms, 3)
+        print(
+            f"{name:20s} {ms:8.2f} ms/step   {samples/(ms/1e3)/1e6:9.1f} MS/s  "
+            f"(epochs {[round(t*1e3,2) for t in ts]})",
+            flush=True,
+        )
+    result.update(
+        channels=num_channels, buoys=num_buoys, block_len=block_len,
+        max_lag=max_lag, iters=iters,
+        backend=jax.default_backend(),
+    )
+    print(json.dumps(result), flush=True)
+    return 0
 
 
 if __name__ == "__main__":
-    main(*(int(a) for a in sys.argv[1:]))
+    sys.exit(main(*(int(a) for a in sys.argv[1:])))
