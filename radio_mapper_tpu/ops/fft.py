@@ -100,21 +100,44 @@ def _split_length(n: int) -> Tuple[int, int]:
 _PRECISION = jax.lax.Precision.HIGH
 
 
+_PRECISION_TABLE = {
+    "highest": jax.lax.Precision.HIGHEST,
+    "high": jax.lax.Precision.HIGH,
+    "default": jax.lax.Precision.DEFAULT,
+}
+
+# The INVERSE transform of the GCC chain gets its own knob: after PHAT
+# whitening every bin has ~unit magnitude, so the dynamic-range argument
+# for multi-pass f32 emulation vanishes — measured on-chip at the
+# flagship shape, single-pass bf16 inverse dots match the bf16x3 inverse
+# to 1.1e-5 samples of τ while cutting the fused pair stage 7.85→5.0 ms
+# (docs/PROBES.md r3). The FORWARD transform keeps the main knob (raw
+# signals have real dynamic range; bf16 there costs ~1e-2 relative).
+_INVERSE_PRECISION = jax.lax.Precision.DEFAULT
+
+
 def set_precision(name: str) -> None:
-    """'highest' (6-pass f32, default), 'high' (3-pass), or 'default' (bf16)."""
+    """'highest' (6-pass f32), 'high' (3-pass, default), or 'default' (bf16)."""
     global _PRECISION
-    table = {
-        "highest": jax.lax.Precision.HIGHEST,
-        "high": jax.lax.Precision.HIGH,
-        "default": jax.lax.Precision.DEFAULT,
-    }
-    if name not in table:
+    if name not in _PRECISION_TABLE:
         raise ValueError(f"unknown precision {name!r}")
-    _PRECISION = table[name]
+    _PRECISION = _PRECISION_TABLE[name]
 
 
 def get_precision():
     return _PRECISION
+
+
+def set_inverse_precision(name: str) -> None:
+    """Precision for the whitened-inverse GCC dots (see note above)."""
+    global _INVERSE_PRECISION
+    if name not in _PRECISION_TABLE:
+        raise ValueError(f"unknown precision {name!r}")
+    _INVERSE_PRECISION = _PRECISION_TABLE[name]
+
+
+def get_inverse_precision():
+    return _INVERSE_PRECISION
 
 
 def _dft_direct(re: jnp.ndarray, im: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:

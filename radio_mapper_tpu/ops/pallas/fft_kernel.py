@@ -102,15 +102,20 @@ def _dot_bf16x3(a, b, dn):
     return d(a_hi, b_hi) + d(a_hi, b_lo) + d(a_lo, b_hi)
 
 
-def kernel_dot():
+def kernel_dot(inverse: bool = False):
     """Trace-time dot factory for Pallas kernels: honors the module FFT
     precision knob, implementing HIGH as explicit bf16x3 (see above)
-    instead of rounding it up to HIGHEST. Returns ``dot(a, b, dn)``."""
+    instead of rounding it up to HIGHEST. Returns ``dot(a, b, dn)``.
+
+    ``inverse=True`` selects the whitened-inverse knob
+    (`fft.set_inverse_precision`, default single-pass bf16 — the PHAT
+    transform flattens dynamic range, measured τ parity 1.1e-5 samples
+    vs bf16x3 on-chip at the flagship shape)."""
     import jax as _jax
 
     from radio_mapper_tpu.ops import fft as fft_ops
 
-    p = fft_ops.get_precision()
+    p = fft_ops.get_inverse_precision() if inverse else fft_ops.get_precision()
     if p == _jax.lax.Precision.HIGH:
         return _dot_bf16x3
     return lambda a, b, dn: jax.lax.dot_general(

@@ -37,10 +37,10 @@ from jax.experimental.pallas import tpu as pltpu
 
 from radio_mapper_tpu.ops.pallas import fft_kernel
 
-# Pairs processed per grid cell: bounds the chunk workspace to ~1 MB of
-# VMEM per complex plane at the flagship nfft while keeping the inverse
-# matmuls MXU-sized ([chunk·n2, n1] ≥ [1056, 128]).
-DEFAULT_PAIR_CHUNK = 8
+# Pairs processed per grid cell. 32 measured 1.16× faster than 8 at the
+# flagship shape (one spectra fetch + bigger inverse matmuls; interleaved
+# on-chip A/B, docs/PROBES.md r3); VMEM stays a few MB per plane.
+DEFAULT_PAIR_CHUNK = 32
 
 WEIGHTINGS = ("phat", "cc")
 
@@ -85,7 +85,7 @@ def _gcc_pairs_kernel(
     check failure), so rows are sliced keepdim and outputs are 2-D.
     """
     m = len(pairs)
-    dot = fft_kernel.kernel_dot()
+    dot = fft_kernel.kernel_dot(inverse=True)
     dn = (((1,), (0,)), ((), ()))
     n = n1 * n2
 
@@ -111,11 +111,18 @@ def _gcc_pairs_kernel(
     )
 
     if whiten:
-        mag = jnp.sqrt(rre * rre + rim * rim)
+        p2 = rre * rre + rim * rim
+        # |R| via x·rsqrt(x) and ONE reciprocal instead of sqrt + two
+        # divides. A/B'd on-chip: neutral vs sqrt+div within tunnel noise
+        # (the whiten block's ~1.2 ms is dominated by the per-pair max
+        # reduction, not the special functions) — kept as the cheaper
+        # canonical form.
+        inv_mag = jax.lax.rsqrt(p2 + 1e-30)
+        mag = p2 * inv_mag
         scale = jnp.max(mag, axis=-1, keepdims=True)  # per-pair gate
-        denom = mag + eps * scale + 1e-30
-        rre = rre / denom
-        rim = rim / denom
+        inv = 1.0 / (mag + eps * scale + 1e-30)
+        rre = rre * inv
+        rim = rim * inv
 
     # Inner inverse DFT over k1 (minor): [m, nfft] → [m·n2, n1] rows.
     rre = rre.reshape(m * n2, n1)
@@ -282,7 +289,7 @@ def _gcc_rows_kernel(
     per cell, which OOMs VMEM when the "receivers" are thousands of
     pair-EP pseudo-rows)."""
     m = rows
-    dot = fft_kernel.kernel_dot()
+    dot = fft_kernel.kernel_dot(inverse=True)
     dn = (((1,), (0,)), ((), ()))
     n = n1 * n2
 
@@ -292,11 +299,18 @@ def _gcc_rows_kernel(
     rim = xim * yre - xre * yim
 
     if whiten:
-        mag = jnp.sqrt(rre * rre + rim * rim)
-        scale = jnp.max(mag, axis=-1, keepdims=True)
-        denom = mag + eps * scale + 1e-30
-        rre = rre / denom
-        rim = rim / denom
+        p2 = rre * rre + rim * rim
+        # |R| via x·rsqrt(x) and ONE reciprocal instead of sqrt + two
+        # divides. A/B'd on-chip: neutral vs sqrt+div within tunnel noise
+        # (the whiten block's ~1.2 ms is dominated by the per-pair max
+        # reduction, not the special functions) — kept as the cheaper
+        # canonical form.
+        inv_mag = jax.lax.rsqrt(p2 + 1e-30)
+        mag = p2 * inv_mag
+        scale = jnp.max(mag, axis=-1, keepdims=True)  # per-pair gate
+        inv = 1.0 / (mag + eps * scale + 1e-30)
+        rre = rre * inv
+        rim = rim * inv
 
     rre = rre.reshape(m * n2, n1)
     rim = rim.reshape(m * n2, n1)
