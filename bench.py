@@ -421,22 +421,27 @@ def main():
 
     # Ingest-closed sustained run (VERDICT r2 item 1): real-time pace for
     # the benched channel count; halve channels until the loop keeps up.
+    # Start at ≤32 ch: the host→device leg here rides an SSH tunnel, and
+    # 64+ ch real time needs >2.4 GB/s of transfer — physical deployments
+    # have PCIe; the sweep finds what THIS link sustains.
     ingest = None
-    ingest_channels = best.get("channels") or 32
-    while ingest_channels >= 1:
+    ingest_channels = None
+    try_channels = min(best.get("channels") or 32, 32)
+    while try_channels >= 1:
         try:
-            st = run_ingest_bench(channels=ingest_channels)
+            st = run_ingest_bench(channels=try_channels)
             _log(
-                f"ingest {ingest_channels}ch: {st.sustained_samples_per_s/1e6:.1f} MS/s "
+                f"ingest {try_channels}ch: {st.sustained_samples_per_s/1e6:.1f} MS/s "
                 f"sustained ({st.real_time_ratio:.2f}x real time), drops={st.drops}, "
                 f"host {st.host_read_ms_per_step:.2f} ms + put {st.transfer_ms_per_step:.2f} ms /step"
             )
             ingest = st
+            ingest_channels = try_channels
             if st.drops == 0 and st.real_time_ratio >= 0.95:
                 break
         except Exception as e:
-            _log(f"ingest bench {ingest_channels}ch failed: {e}")
-        ingest_channels //= 2
+            _log(f"ingest bench {try_channels}ch failed: {e}")
+        try_channels //= 2
 
     mfu = None
     if best["rate"] > 0 and peak and best.get("flops"):
