@@ -33,18 +33,23 @@ class RingBuffer {
 
   size_t writable() const { return capacity() - readable(); }
 
-  // Producer: write n bytes. If the ring is full, drop the OLDEST data
-  // (advance tail) — matching rtl_tcp's drop-oldest policy so a stalled
-  // consumer sees the freshest samples, not stale ones.
+  // Producer: write n bytes, or DROP THE WHOLE CHUNK if it doesn't fit.
+  //
+  // Deliberate deviation from rtl_tcp's drop-oldest policy
+  // (`Code/src/rtl_tcp.c:144-188`): drop-oldest requires the PRODUCER to
+  // advance the consumer's tail pointer, which races a concurrent read
+  // in a lock-free SPSC ring — the consumer can copy bytes mid-overwrite
+  // and its tail store can rewind the producer's advance, corrupting
+  // both data and accounting (rtl_tcp serializes with a mutex instead).
+  // Dropping the *incoming* chunk keeps the SPSC invariant (only the
+  // consumer moves tail), keeps whole chunks intact so interleaved-I/Q
+  // byte alignment is never broken by an odd-length drop, and for the
+  // real-time criterion the signal is identical: drops > 0 means the
+  // consumer fell behind.
   void write_overwrite(const uint8_t* data, size_t n) {
-    if (n >= capacity()) {  // keep only the newest capacity-1 bytes
-      data += n - (capacity() - 1);
-      n = capacity() - 1;
-    }
-    size_t need = n > writable() ? n - writable() : 0;
-    if (need > 0) {
-      tail_.fetch_add(need, std::memory_order_acq_rel);
-      dropped_.fetch_add(need, std::memory_order_relaxed);
+    if (n > writable()) {
+      dropped_.fetch_add(n, std::memory_order_relaxed);
+      return;
     }
     size_t head = head_.load(std::memory_order_relaxed);
     size_t idx = head & mask_;

@@ -18,17 +18,23 @@ int main() {
     assert(rb.read(out, 1) == 0);  // empty
   }
   {
-    // Overrun drops oldest.
+    // Overrun drops the whole INCOMING chunk (SPSC-safe drop-newest;
+    // drop-oldest would need the producer to move the consumer's tail,
+    // racing concurrent reads — see ring_buffer.hpp).
     rmt::RingBuffer rb(8);
     uint8_t a[6] = {1, 1, 1, 1, 1, 1};
     uint8_t b[6] = {2, 2, 2, 2, 2, 2};
     rb.write_overwrite(a, 6);
-    rb.write_overwrite(b, 6);  // 12 > 8: drops 4 oldest
-    assert(rb.total_dropped() == 4);
+    rb.write_overwrite(b, 6);  // 6 free < 6 wanted (cap 8, 6 used): drop b
+    assert(rb.total_dropped() == 6);
     uint8_t out[8];
     size_t got = rb.read(out, 8);
-    assert(got == 8);
-    assert(out[0] == 1 && out[1] == 1 && out[2] == 2 && out[7] == 2);
+    assert(got == 6);
+    for (size_t i = 0; i < got; i++) assert(out[i] == 1);
+    // ...and the next chunk lands intact once space frees up.
+    rb.write_overwrite(b, 6);
+    got = rb.read(out, 8);
+    assert(got == 6 && out[0] == 2 && out[5] == 2);
   }
   {
     // Concurrent producer/consumer preserves the byte stream.
