@@ -367,8 +367,11 @@ def main():
     # per-sample cost vs 32 (7.06 vs 11.6 ms/step — the step carries a
     # multi-ms dispatch+RTT floor), so bigger batches keep winning until
     # compute dominates. Each config's failure is caught and skipped.
+    # 256 added r3: each step carries a ~1.45 ms dispatch floor (measured,
+    # docs/PROBES.md), so doubling the per-dispatch batch keeps paying off
+    # until HBM pressure bites (~1 GB working set at 256 — fine on 16 GB).
     best = {"rate": 0.0}
-    for ch in (32, 64, 128):
+    for ch in (32, 64, 128, 256):
         try:
             path, step, args, flops = build_pipeline_step(num_channels=ch)
         except Exception as e:
