@@ -298,6 +298,7 @@ def run_ep_microbench(
 def run_ingest_bench(
     *, channels: int = 32, num_buoys: int = 8, block_len: int = 16_384,
     sample_rate_hz: float = 2_400_000.0, max_lag: int = 512, steps: int = 30,
+    blocks_per_dispatch: int = 1,
 ):
     """Ingest-closed sustained throughput: native ring → double-buffered
     host→HBM uint8 upload → jitted step, paced at REAL TIME for the
@@ -321,12 +322,13 @@ def run_ingest_bench(
         pipe.jit_step_split_uint8(), None,
         channels=channels, num_buoys=num_buoys, block_len=block_len,
         anchors=anchors, source_samples_per_s=rate_samples,
+        blocks_per_dispatch=blocks_per_dispatch,
     )
     t0 = time.perf_counter()
     loop.warm_compile()
     _log(f"ingest u8-step compile+first {time.perf_counter()-t0:.1f}s")
-    # ring sized for ~8 blocks of headroom
-    block_bytes = channels * num_buoys * 2 * block_len
+    # ring sized for ~8 dispatches of headroom
+    block_bytes = blocks_per_dispatch * channels * num_buoys * 2 * block_len
     ring = 1 << max(24, (block_bytes * 8).bit_length())
     ing = NativeIngest.open_synthetic_paced(
         seed=1, bytes_per_s=2.0 * rate_samples, ring_bytes=ring
@@ -445,6 +447,21 @@ def main():
         except Exception as e:
             _log(f"ingest bench {try_channels}ch failed: {e}")
         try_channels //= 2
+    ingest_bpd = 1
+    if ingest is None or ingest.real_time_ratio < 0.95:
+        # Dispatch-floor amortization: one more attempt at 1 ch with 8
+        # blocks per dispatch (the link's fixed per-dispatch costs eat a
+        # single 6.8 ms block budget; batching spreads them 8x).
+        try:
+            st = run_ingest_bench(channels=1, blocks_per_dispatch=8)
+            _log(
+                f"ingest 1ch x8blk: {st.sustained_samples_per_s/1e6:.1f} MS/s "
+                f"({st.real_time_ratio:.2f}x real time), drops={st.drops}"
+            )
+            if ingest is None or st.real_time_ratio > ingest.real_time_ratio:
+                ingest, ingest_channels, ingest_bpd = st, 1, 8
+        except Exception as e:
+            _log(f"ingest 1ch x8blk failed: {e}")
 
     mfu = None
     if best["rate"] > 0 and peak and best.get("flops"):
@@ -469,6 +486,7 @@ def main():
                 "pairs_per_s": round(gcc_rate, 1),
                 "ep_pairs_per_s": round(ep_rate, 1),
                 "ingest_channels": ingest_channels if ingest else None,
+                "ingest_blocks_per_dispatch": ingest_bpd if ingest else None,
                 "ingest_sustained_ms_per_s": (
                     round(ingest.sustained_samples_per_s / 1e6, 1) if ingest else None
                 ),

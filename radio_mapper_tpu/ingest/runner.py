@@ -71,7 +71,14 @@ class IngestLoop:
         anchors,
         source_samples_per_s: float = 0.0,
         device_put: Optional[Callable] = None,
+        blocks_per_dispatch: int = 1,
     ):
+        """``blocks_per_dispatch > 1`` stacks k consecutive blocks as a
+        leading batch axis per step call — the pipeline is batch-generic,
+        so one dispatch (and its fixed ~1.45 ms floor + transfer-issue
+        overhead, docs/PROBES.md) then covers k blocks of real-time
+        budget. This is the dispatch-bound regime's lever: on a
+        high-latency link the floor eats a single block's budget."""
         import jax
 
         self.step = step
@@ -82,7 +89,10 @@ class IngestLoop:
         self.anchors = anchors
         self.source_samples_per_s = source_samples_per_s
         self._device_put = device_put or jax.device_put
-        self.block_bytes = channels * num_buoys * 2 * block_len
+        self.blocks_per_dispatch = int(blocks_per_dispatch)
+        self.block_bytes = (
+            self.blocks_per_dispatch * channels * num_buoys * 2 * block_len
+        )
 
     def warm_compile(self, seed: int = 0):
         """Compile + execute the step on a synthetic block (no ring read).
@@ -94,14 +104,16 @@ class IngestLoop:
         import jax.numpy as jnp
 
         rng = np.random.default_rng(seed)
-        block = rng.integers(
-            0, 256,
-            size=(self.channels, self.num_buoys, 2 * self.block_len),
-            dtype=np.uint8,
-        )
+        block = rng.integers(0, 256, size=self._block_shape(), dtype=np.uint8)
         out = self.step(self._device_put(block), self.anchors)
         leaf = jax.tree_util.tree_leaves(out)[0]
         float(np.asarray(jnp.sum(leaf.astype(jnp.float32))))
+
+    def _block_shape(self):
+        base = (self.channels, self.num_buoys, 2 * self.block_len)
+        if self.blocks_per_dispatch > 1:
+            return (self.blocks_per_dispatch, *base)
+        return base
 
     def _read_block(self, timeout_ms: int = 10_000) -> np.ndarray:
         raw, _ts = self.ingest.read_bytes(self.block_bytes, timeout_ms)
@@ -110,7 +122,7 @@ class IngestLoop:
                 f"ring underrun: wanted {self.block_bytes} got {raw.size} "
                 "(source stalled or timeout too small)"
             )
-        return raw.reshape(self.channels, self.num_buoys, 2 * self.block_len)
+        return raw.reshape(self._block_shape())
 
     def run(self, num_steps: int, *, warmup_steps: int = 1) -> IngestLoopStats:
         """Run the overlap loop; returns sustained-throughput stats.
@@ -158,7 +170,9 @@ class IngestLoop:
         float(np.asarray(jnp.sum(leaf.astype(jnp.float32))))
         elapsed = time.perf_counter() - t0
 
-        samples_per_step = self.channels * self.num_buoys * self.block_len
+        samples_per_step = (
+            self.blocks_per_dispatch * self.channels * self.num_buoys * self.block_len
+        )
         sustained = samples_per_step * num_steps / elapsed
         stats = self.ingest.stats()
         return IngestLoopStats(
