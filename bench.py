@@ -79,17 +79,9 @@ def _force(outs) -> float:
     reductions + adds), so no dispatched execution can be elided as dead
     code — the single materialized value depends on all of them.
     """
-    import jax
-    import jax.numpy as jnp
+    from radio_mapper_tpu.utils.device import force_fetch
 
-    if not isinstance(outs, (list, tuple)):
-        outs = [outs]
-    total = None
-    for out in outs:
-        for leaf in jax.tree_util.tree_leaves(out):
-            s = jnp.sum(leaf.astype(jnp.float32))
-            total = s if total is None else total + s
-    return float(np.asarray(total))
+    return force_fetch(outs)
 
 
 def _epoch_time(step, args, *, iters: int, warmup: int = 2) -> float:

@@ -176,6 +176,11 @@ struct Ingest {
 
   Ingest(std::unique_ptr<Source> src, size_t ring_bytes, size_t chunk)
       : source(std::move(src)), ring(ring_bytes) {
+    // A chunk that can never fit would drop forever under the SPSC
+    // drop-newest policy (ring_buffer.hpp); clamp to half the ring so
+    // data always flows even with pathological caller sizes.
+    chunk = std::min(chunk, ring.capacity() / 2);
+    if (chunk == 0) chunk = 1;
     producer = std::thread([this, chunk] {
       std::vector<uint8_t> buf(chunk);
       while (running.load(std::memory_order_relaxed)) {

@@ -100,14 +100,11 @@ class IngestLoop:
         Call BEFORE opening a paced source so compile time doesn't fill
         the ring and show up as spurious drops.
         """
-        import jax
-        import jax.numpy as jnp
+        from radio_mapper_tpu.utils.device import force_fetch
 
         rng = np.random.default_rng(seed)
         block = rng.integers(0, 256, size=self._block_shape(), dtype=np.uint8)
-        out = self.step(self._device_put(block), self.anchors)
-        leaf = jax.tree_util.tree_leaves(out)[0]
-        float(np.asarray(jnp.sum(leaf.astype(jnp.float32))))
+        force_fetch(self.step(self._device_put(block), self.anchors))
 
     def _block_shape(self):
         base = (self.channels, self.num_buoys, 2 * self.block_len)
@@ -131,8 +128,7 @@ class IngestLoop:
         device runtimes (docs/PROBES.md), so the epoch ends with ONE
         host fetch of a scalar derived from the final step's outputs.
         """
-        import jax
-        import jax.numpy as jnp
+        from radio_mapper_tpu.utils.device import force_fetch
 
         # Warmup: compile + first transfers outside the timed window.
         # NOTE: with a paced source the ring fills during compile, so for
@@ -166,8 +162,7 @@ class IngestLoop:
                 host_ms += (tp - th) * 1e3
                 put_ms += (time.perf_counter() - tp) * 1e3
         # one trailing fetch forces every dispatched step to completion
-        leaf = jax.tree_util.tree_leaves(out)[0]
-        float(np.asarray(jnp.sum(leaf.astype(jnp.float32))))
+        force_fetch(out)
         elapsed = time.perf_counter() - t0
 
         samples_per_step = (

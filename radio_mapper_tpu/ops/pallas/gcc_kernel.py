@@ -85,7 +85,10 @@ def _gcc_pairs_kernel(
     check failure), so rows are sliced keepdim and outputs are 2-D.
     """
     m = len(pairs)
-    dot = fft_kernel.kernel_dot(inverse=True)
+    # The relaxed single-pass-bf16 inverse knob is justified ONLY by PHAT's
+    # flat post-whitening dynamic range; the unwhitened "cc" cross-spectrum
+    # spans the signal's full range and keeps the main (bf16x3) precision.
+    dot = fft_kernel.kernel_dot(inverse=whiten)
     dn = (((1,), (0,)), ((), ()))
     n = n1 * n2
 
@@ -289,7 +292,10 @@ def _gcc_rows_kernel(
     per cell, which OOMs VMEM when the "receivers" are thousands of
     pair-EP pseudo-rows)."""
     m = rows
-    dot = fft_kernel.kernel_dot(inverse=True)
+    # The relaxed single-pass-bf16 inverse knob is justified ONLY by PHAT's
+    # flat post-whitening dynamic range; the unwhitened "cc" cross-spectrum
+    # spans the signal's full range and keeps the main (bf16x3) precision.
+    dot = fft_kernel.kernel_dot(inverse=whiten)
     dn = (((1,), (0,)), ((), ()))
     n = n1 * n2
 

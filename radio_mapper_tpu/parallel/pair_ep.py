@@ -57,6 +57,10 @@ class PairEPOutput(NamedTuple):
     cost: jnp.ndarray  # []
     lags: jnp.ndarray  # [P_pad] pair lags, sharded over the axis
     weights: jnp.ndarray  # [P_pad]
+    # 1σ horizontal error ellipse of the fix (solver CRLB; replicated)
+    ellipse_major_m: jnp.ndarray  # []
+    ellipse_minor_m: jnp.ndarray  # []
+    ellipse_orientation_deg: jnp.ndarray  # []
 
 
 def _padded_pairs(num_buoys: int, num_shards: int) -> Tuple[np.ndarray, np.ndarray, int]:
@@ -183,11 +187,15 @@ def build_pair_ep_step(mesh: Mesh, config: PairEPConfig, *, axis: str = "pair"):
             cost=res.cost,
             lags=pk.lag_samples,
             weights=weights,
+            ellipse_major_m=res.ellipse_major_m,
+            ellipse_minor_m=res.ellipse_minor_m,
+            ellipse_orientation_deg=res.ellipse_orientation_deg,
         )
 
     in_specs = (P(axis, None), P(axis, None), P(), P(axis), P(axis), P(axis))
     out_specs = PairEPOutput(
-        fix_enu=P(), cost=P(), lags=P(axis), weights=P(axis)
+        fix_enu=P(), cost=P(), lags=P(axis), weights=P(axis),
+        ellipse_major_m=P(), ellipse_minor_m=P(), ellipse_orientation_deg=P(),
     )
     inner = jax.shard_map(
         local_step, mesh=mesh, in_specs=in_specs, out_specs=out_specs,

@@ -421,12 +421,25 @@ class TDoAEngine:
                 measurements = self.measurements_from_timestamps(windowed)
             if len(measurements) < 2:
                 continue
-            # Waveform τ is good to ~0.2 sample; that resolution floors the
-            # ellipse σ (a 3-receiver group fits all-pairs dd exactly, so
-            # the residual σ estimate alone can report zero uncertainty).
+            # The ellipse σ needs a floor: a 3-receiver group fits all-pairs
+            # dd exactly, so the residual estimate alone can report zero
+            # uncertainty (solver.py docstring). Waveform τ is good to
+            # ~0.2 sample; timestamp differencing is only as good as the
+            # clocks — floor at c·median(timing accuracy) of the
+            # contributing buoys, so a 100 µs-sync network honestly reports
+            # its tens-of-km ellipse instead of a deceptively tiny one.
             floor = 0.0
             if method == "gcc-phat+lm" and getattr(self, "_last_waveform_fs", 0.0):
                 floor = 0.2 * SPEED_OF_LIGHT_M_S / self._last_waveform_fs
+            elif method == "hyperbolic-lm":
+                accs = [
+                    self.buoy_positions[b].timing_accuracy_ns
+                    for m in measurements
+                    for b in (m.buoy1_id, m.buoy2_id)
+                    if b in self.buoy_positions
+                ]
+                if accs:
+                    floor = SPEED_OF_LIGHT_M_S * float(np.median(accs)) * 1e-9
             solved = self._solve_group(measurements, sigma_floor_m=floor)
             if solved is None:
                 continue

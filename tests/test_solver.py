@@ -295,3 +295,32 @@ def test_full_waveform_pipeline_to_position():
     lat, lng, _ = geo.enu_to_lat_lng(jnp.asarray(est_enu), *scen.ref_origin)
     assert abs(float(lat) - scen.emitters[0].lat) < 0.001
     assert abs(float(lng) - scen.emitters[0].lng) < 0.001
+
+
+def test_pair_noise_model_covariance():
+    """noise_model="pair" uses the classic σ²(JᵀWJ)⁻¹; with truly
+    independent per-pair noise and known σ its coverage is ≈ nominal."""
+    scen = sim.default_scenario()
+    anchors = scen.buoy_enu()
+    emitter = scen.emitter_enu(scen.emitters[0])
+    i_idx, j_idx = pair_indices(len(anchors))
+    rng = np.random.default_rng(0)
+    d = np.linalg.norm(anchors - emitter, axis=1)
+    dd_true = d[i_idx] - d[j_idx]
+    sigma = 150.0  # meters, independent per PAIR (not per receiver)
+    n_trials = 200
+    dds = dd_true[None] + rng.normal(scale=sigma, size=(n_trials, len(i_idx)))
+    res = solver.solve_tdoa(
+        jnp.asarray(anchors, jnp.float32),
+        jnp.asarray(i_idx),
+        jnp.asarray(j_idx),
+        jnp.asarray(dds, jnp.float32),
+        noise_model="pair",
+        sigma_m=jnp.float32(sigma),
+    )
+    est = np.asarray(res.position_enu)[:, :2]
+    err = est - emitter[:2]
+    cov = np.asarray(res.cov_enu)[:, :2, :2].astype(np.float64)
+    d2 = np.einsum("ni,nij,nj->n", err, np.linalg.inv(cov), err)
+    coverage = float(np.mean(d2 <= 2.279))
+    assert 0.5 <= coverage <= 0.85, coverage

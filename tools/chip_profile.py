@@ -52,12 +52,7 @@ def main(num_channels=128, num_buoys=8, block_len=16_384, max_lag=512,
     re, im, anchors = jax.device_put((re, im, anchors))
     samples = num_channels * num_buoys * block_len
 
-    def force(out):
-        total = None
-        for leaf in jax.tree_util.tree_leaves(out):
-            s = jnp.sum(leaf.astype(jnp.float32))
-            total = s if total is None else total + s
-        return float(np.asarray(total))
+    from radio_mapper_tpu.utils.device import force_fetch as force
 
     # --- stage programs (compile once each) -----------------------------
     fused = sc_ops.gcc_fused_enabled(block_len + max_lag, c.weighting)

@@ -85,6 +85,18 @@ async def run_load(num_buoys: int, rate_per_s: float, duration_s: float,
             }))
             conns.append(ws)
 
+        async def drain(ws):
+            # central broadcasts every triangulation_result to every
+            # registered node; an unread client socket would fill the recv
+            # queue and backpressure the correlation worker mid-pass.
+            try:
+                async for _ in ws:
+                    pass
+            except Exception:
+                pass
+
+        drains = [asyncio.create_task(drain(ws)) for ws in conns]
+
         interval = num_buoys / rate_per_s  # per-buoy send period
         t_end = time.monotonic() + duration_s
         recent_peak = 0
@@ -142,6 +154,8 @@ async def run_load(num_buoys: int, rate_per_s: float, duration_s: float,
         p95 = metric('fix_latency_seconds{quantile="0.95"}')
         for ws in conns:
             await ws.close()
+        for t in drains:
+            t.cancel()
     finally:
         await central.stop()
 
@@ -156,7 +170,12 @@ async def run_load(num_buoys: int, rate_per_s: float, duration_s: float,
         "fix_latency_p50_s": round(p50, 3),
         "fix_latency_p95_s": round(p95, 3),
         "recent_working_set_peak": recent_peak,
-        "sustained": bool(received >= 0.95 * sent and (p95 or 0) < 5.0),
+        # sustained requires that fixes actually happened (p95=0.0 just
+        # means the latency metric never fired — a dead fix path must not
+        # read as "sustained")
+        "sustained": bool(
+            received >= 0.95 * sent and fixes > 0 and 0.0 < p95 < 5.0
+        ),
     }
 
 
