@@ -66,14 +66,13 @@ def plan_nfft(min_len: int) -> int:
 
 def _gcc_pairs_kernel(
     sre_ref, sim_ref,
-    w1re_ref, w1im_ref, w2re_ref, w2im_ref, twre_ref, twim_ref,
+    w1re_ref, w1im_ref, w2negre_ref, w2negim_ref,
+    w2posre_ref, w2posim_ref, twre_ref, twim_ref,
     oneg_ref, opos_ref,
     *,
     pairs: Tuple[Tuple[int, int], ...],
     n1: int,
     n2: int,
-    nneg: int,
-    npos: int,
     eps: float,
     whiten: bool,
 ):
@@ -89,8 +88,6 @@ def _gcc_pairs_kernel(
     # flat post-whitening dynamic range; the unwhitened "cc" cross-spectrum
     # spans the signal's full range and keeps the main (bf16x3) precision.
     dot = fft_kernel.kernel_dot(inverse=whiten)
-    dn = (((1,), (0,)), ((), ()))
-    n = n1 * n2
 
     a_re = sre_ref[:]  # [B, nfft] CT-order spectra
     a_im = sim_ref[:]
@@ -127,6 +124,32 @@ def _gcc_pairs_kernel(
         rre = rre * inv
         rim = rim * inv
 
+    _invert_to_lag_windows(
+        rre, rim, w1re_ref, w1im_ref, w2negre_ref, w2negim_ref,
+        w2posre_ref, w2posim_ref, twre_ref, twim_ref, oneg_ref, opos_ref,
+        m=m, n1=n1, n2=n2, dot=dot,
+    )
+
+
+def _invert_to_lag_windows(
+    rre, rim, w1re_ref, w1im_ref, w2negre_ref, w2negim_ref,
+    w2posre_ref, w2posim_ref, twre_ref, twim_ref, oneg_ref, opos_ref,
+    *, m: int, n1: int, n2: int, dot,
+):
+    """Shared inverse tail: whitened cross-power [m, nfft] → lag windows.
+
+    Only the lag window's q-rows of the outer inverse DFT are ever read
+    (time t = q·n1 + p; ±max_lag covers nneg+npos ≈ 9 of n2 ≈ 136 rows),
+    so the outer matmul uses PRE-SLICED W2 row blocks and outputs are
+    emitted lag-row-major (the wrapper transposes the tiny windows in
+    XLA). Measured on-chip r3: wall-clock NEUTRAL vs the full-row version
+    (the MXU's 128-row minimum tile absorbs most of the nominal 15× row
+    reduction, and the removed transposes/sqrt were cheap); kept because
+    it halves the kernels' workspace VMEM, dedupes both kernels into this
+    one tail, and shrinks the emitted output buffers ~15×.
+    """
+    n = n1 * n2
+    dn = (((1,), (0,)), ((), ()))
     # Inner inverse DFT over k1 (minor): [m, nfft] → [m·n2, n1] rows.
     rre = rre.reshape(m * n2, n1)
     rim = rim.reshape(m * n2, n1)
@@ -134,30 +157,51 @@ def _gcc_pairs_kernel(
     ere = dot(rre, w1re, dn) - dot(rim, w1im, dn)
     eim = dot(rre, w1im, dn) + dot(rim, w1re, dn)
 
-    # Inverse twiddle W_n^{+p·k2}, tiled over the chunk.
-    twre = jnp.concatenate([twre_ref[:]] * m, axis=0)
-    twim = jnp.concatenate([twim_ref[:]] * m, axis=0)
-    cre = ere * twre - eim * twim
-    cim = ere * twim + eim * twre
+    # Inverse twiddle W_n^{+p·k2}: broadcast over the chunk (3-D view, no
+    # materialized concat of m copies).
+    twre = twre_ref[:]
+    twim = twim_ref[:]
+    e3re = ere.reshape(m, n2, n1)
+    e3im = eim.reshape(m, n2, n1)
+    c3re = e3re * twre[None] - e3im * twim[None]
+    c3im = e3re * twim[None] + e3im * twre[None]
 
-    # Outer inverse DFT over k2: z[q, m·p] = Σ_{k2} W2c[q, k2]·C[k2, m·p].
-    regroup = lambda c: jnp.transpose(
-        c.reshape(m, n2, n1), (1, 0, 2)
-    ).reshape(n2, m * n1)
-    cre, cim = regroup(cre), regroup(cim)
-    w2re, w2im = w2re_ref[:], w2im_ref[:]
-    zre = dot(w2re, cre, dn) - dot(w2im, cim, dn)
-    zim = dot(w2re, cim, dn) + dot(w2im, cre, dn)
+    # Outer inverse DFT over k2, windowed rows only:
+    # z[q, m·p] = Σ_{k2} W2c[q, k2] · C[k2, m·p] for q in the lag window.
+    regroup = lambda c: jnp.transpose(c, (1, 0, 2)).reshape(n2, m * n1)
+    cre, cim = regroup(c3re), regroup(c3im)
+    for w2r_ref, w2i_ref, out_ref in (
+        (w2negre_ref, w2negim_ref, oneg_ref),
+        (w2posre_ref, w2posim_ref, opos_ref),
+    ):
+        w2r, w2i = w2r_ref[:], w2i_ref[:]
+        zre = dot(w2r, cre, dn) - dot(w2i, cim, dn)
+        zim = dot(w2r, cim, dn) + dot(w2i, cre, dn)
+        # [rows_padded, m·n1] lag-row-major magnitudes
+        out_ref[:] = jnp.sqrt(zre * zre + zim * zim) * (1.0 / n)
 
-    # Back to [m, n2(q), n1(p)]; time index t = q·n1 + p. |z|/N.
-    unpack = lambda z: jnp.transpose(z.reshape(n2, m, n1), (1, 0, 2))
-    zre, zim = unpack(zre), unpack(zim)
-    magz = jnp.sqrt(zre * zre + zim * zim) * (1.0 / n)
 
-    # Lag windows: negative lags live at the tail rows, positives at the
-    # head rows — static row counts, 2-D outputs.
-    oneg_ref[:] = magz[:, n2 - nneg :, :].reshape(m, nneg * n1)
-    opos_ref[:] = magz[:, :npos, :].reshape(m, npos * n1)
+def _w2_window_rows(w2re, w2im, n2, nneg, npos):
+    """Pre-sliced outer-DFT row blocks covering only the lag window,
+    sublane-padded to multiples of 8 (padding rows are zero → zero output
+    rows, sliced off by the caller)."""
+    nneg_p = -(-nneg // 8) * 8
+    npos_p = -(-npos // 8) * 8
+    padr = lambda a, rows: np.pad(a, ((0, rows - a.shape[0]), (0, 0)))
+    return (
+        padr(w2re[n2 - nneg:], nneg_p), padr(w2im[n2 - nneg:], nneg_p),
+        padr(w2re[:npos], npos_p), padr(w2im[:npos], npos_p),
+        nneg_p, npos_p,
+    )
+
+
+def _window_rows_to_pair_major(o, groups, rows_p, rows, m, n1):
+    """[groups·rows_p, m·n1] lag-row-major kernel output → [groups, m, rows·n1].
+
+    The kernel emits lag-major so it never un-transposes the full inverse
+    output; this tiny window transpose runs in XLA."""
+    o = o.reshape(groups, rows_p, m, n1)[:, :rows]
+    return jnp.transpose(o, (0, 2, 1, 3)).reshape(groups, m, rows * n1)
 
 
 def _pair_chunks(
@@ -231,8 +275,11 @@ def gcc_pair_lag_mags(
     sim = sim.reshape(c * b_pad, nfft)
 
     spec_spec = pl.BlockSpec((b_pad, nfft), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    w2negre, w2negim, w2posre, w2posim, nneg_p, npos_p = _w2_window_rows(
+        w2re, w2im, n2, nneg, npos
+    )
     # Specs from STATIC numpy shapes (the values may be tracers under jit).
-    const_arrays = (w1re, w1im, w2re, w2im, twre, twim)
+    const_arrays = (w1re, w1im, w2negre, w2negim, w2posre, w2posim, twre, twim)
     const_specs = [
         pl.BlockSpec(a.shape, lambda i: (0, 0), memory_space=pltpu.VMEM)
         for a in const_arrays
@@ -244,44 +291,45 @@ def gcc_pair_lag_mags(
         m = len(pairs)
         kernel = functools.partial(
             _gcc_pairs_kernel,
-            pairs=pairs, n1=n1, n2=n2, nneg=nneg, npos=npos,
+            pairs=pairs, n1=n1, n2=n2,
             eps=eps, whiten=(weighting == "phat"),
         )
-        out_spec = lambda w: pl.BlockSpec(
-            (m, w), lambda i: (i, 0), memory_space=pltpu.VMEM
+        out_spec = lambda rows: pl.BlockSpec(
+            (rows, m * n1), lambda i: (i, 0), memory_space=pltpu.VMEM
         )
         oneg, opos = pl.pallas_call(
             kernel,
             grid=(c,),
             in_specs=[spec_spec, spec_spec] + const_specs,
-            out_specs=[out_spec(nneg * n1), out_spec(npos * n1)],
+            out_specs=[out_spec(nneg_p), out_spec(npos_p)],
             out_shape=[
-                fft_kernel._sds((c * m, nneg * n1), jnp.float32, vma),
-                fft_kernel._sds((c * m, npos * n1), jnp.float32, vma),
+                fft_kernel._sds((c * nneg_p, m * n1), jnp.float32, vma),
+                fft_kernel._sds((c * npos_p, m * n1), jnp.float32, vma),
             ],
             interpret=interpret,
         )(sre, sim, *consts)
+        oneg = _window_rows_to_pair_major(oneg, c, nneg_p, nneg, m, n1)
+        opos = _window_rows_to_pair_major(opos, c, npos_p, npos, m, n1)
         # lags −max_lag..−1 from the tail of the neg rows; 0..max_lag from
         # the head of the pos rows.
         window = jnp.concatenate(
             [oneg[..., nneg * n1 - max_lag :], opos[..., : max_lag + 1]],
             axis=-1,
         )
-        outs.append(window.reshape(c, m, 2 * max_lag + 1)[:, :m_real])
+        outs.append(window[:, :m_real])
     window = jnp.concatenate(outs, axis=-2)  # [c, P, 2L+1]
     return window.reshape(*batch_shape, len(pair_i), 2 * max_lag + 1)
 
 
 def _gcc_rows_kernel(
     xre_ref, xim_ref, yre_ref, yim_ref,
-    w1re_ref, w1im_ref, w2re_ref, w2im_ref, twre_ref, twim_ref,
+    w1re_ref, w1im_ref, w2negre_ref, w2negim_ref,
+    w2posre_ref, w2posim_ref, twre_ref, twim_ref,
     oneg_ref, opos_ref,
     *,
     rows: int,
     n1: int,
     n2: int,
-    nneg: int,
-    npos: int,
     eps: float,
     whiten: bool,
 ):
@@ -296,8 +344,6 @@ def _gcc_rows_kernel(
     # flat post-whitening dynamic range; the unwhitened "cc" cross-spectrum
     # spans the signal's full range and keeps the main (bf16x3) precision.
     dot = fft_kernel.kernel_dot(inverse=whiten)
-    dn = (((1,), (0,)), ((), ()))
-    n = n1 * n2
 
     xre, xim = xre_ref[:], xim_ref[:]
     yre, yim = yre_ref[:], yim_ref[:]
@@ -318,31 +364,11 @@ def _gcc_rows_kernel(
         rre = rre * inv
         rim = rim * inv
 
-    rre = rre.reshape(m * n2, n1)
-    rim = rim.reshape(m * n2, n1)
-    w1re, w1im = w1re_ref[:], w1im_ref[:]
-    ere = dot(rre, w1re, dn) - dot(rim, w1im, dn)
-    eim = dot(rre, w1im, dn) + dot(rim, w1re, dn)
-
-    twre = jnp.concatenate([twre_ref[:]] * m, axis=0)
-    twim = jnp.concatenate([twim_ref[:]] * m, axis=0)
-    cre = ere * twre - eim * twim
-    cim = ere * twim + eim * twre
-
-    regroup = lambda c: jnp.transpose(
-        c.reshape(m, n2, n1), (1, 0, 2)
-    ).reshape(n2, m * n1)
-    cre, cim = regroup(cre), regroup(cim)
-    w2re, w2im = w2re_ref[:], w2im_ref[:]
-    zre = dot(w2re, cre, dn) - dot(w2im, cim, dn)
-    zim = dot(w2re, cim, dn) + dot(w2im, cre, dn)
-
-    unpack = lambda z: jnp.transpose(z.reshape(n2, m, n1), (1, 0, 2))
-    zre, zim = unpack(zre), unpack(zim)
-    magz = jnp.sqrt(zre * zre + zim * zim) * (1.0 / n)
-
-    oneg_ref[:] = magz[:, n2 - nneg :, :].reshape(m, nneg * n1)
-    opos_ref[:] = magz[:, :npos, :].reshape(m, npos * n1)
+    _invert_to_lag_windows(
+        rre, rim, w1re_ref, w1im_ref, w2negre_ref, w2negim_ref,
+        w2posre_ref, w2posim_ref, twre_ref, twim_ref, oneg_ref, opos_ref,
+        m=m, n1=n1, n2=n2, dot=dot,
+    )
 
 
 def gcc_rows_lag_mags(
@@ -394,7 +420,10 @@ def gcc_rows_lag_mags(
         yre, yim = jnp.pad(yre, padw), jnp.pad(yim, padw)
 
     row_spec = pl.BlockSpec((chunk, nfft), lambda i: (i, 0), memory_space=pltpu.VMEM)
-    const_arrays = (w1re, w1im, w2re, w2im, twre, twim)
+    w2negre, w2negim, w2posre, w2posim, nneg_p, npos_p = _w2_window_rows(
+        w2re, w2im, n2, nneg, npos
+    )
+    const_arrays = (w1re, w1im, w2negre, w2negim, w2posre, w2posim, twre, twim)
     const_specs = [
         pl.BlockSpec(a.shape, lambda i: (0, 0), memory_space=pltpu.VMEM)
         for a in const_arrays
@@ -403,24 +432,27 @@ def gcc_rows_lag_mags(
 
     kernel = functools.partial(
         _gcc_rows_kernel,
-        rows=chunk, n1=n1, n2=n2, nneg=nneg, npos=npos,
+        rows=chunk, n1=n1, n2=n2,
         eps=eps, whiten=(weighting == "phat"),
     )
-    out_spec = lambda w: pl.BlockSpec(
-        (chunk, w), lambda i: (i, 0), memory_space=pltpu.VMEM
+    groups = p_pad // chunk
+    out_spec = lambda rows: pl.BlockSpec(
+        (rows, chunk * n1), lambda i: (i, 0), memory_space=pltpu.VMEM
     )
     oneg, opos = pl.pallas_call(
         kernel,
-        grid=(p_pad // chunk,),
+        grid=(groups,),
         in_specs=[row_spec] * 4 + const_specs,
-        out_specs=[out_spec(nneg * n1), out_spec(npos * n1)],
+        out_specs=[out_spec(nneg_p), out_spec(npos_p)],
         out_shape=[
-            fft_kernel._sds((p_pad, nneg * n1), jnp.float32, vma),
-            fft_kernel._sds((p_pad, npos * n1), jnp.float32, vma),
+            fft_kernel._sds((groups * nneg_p, chunk * n1), jnp.float32, vma),
+            fft_kernel._sds((groups * npos_p, chunk * n1), jnp.float32, vma),
         ],
         interpret=interpret,
     )(xre, xim, yre, yim, *consts)
+    oneg = _window_rows_to_pair_major(oneg, groups, nneg_p, nneg, chunk, n1)
+    opos = _window_rows_to_pair_major(opos, groups, npos_p, npos, chunk, n1)
     window = jnp.concatenate(
         [oneg[..., nneg * n1 - max_lag :], opos[..., : max_lag + 1]], axis=-1
-    )
+    ).reshape(p_pad, 2 * max_lag + 1)
     return window[:p]
