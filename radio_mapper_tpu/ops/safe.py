@@ -101,14 +101,41 @@ def pair_select(x: jnp.ndarray, idx: jnp.ndarray, axis: int = -1) -> jnp.ndarray
     )
 
 
+# Sliding-max implementation: "window" = one reduce_window pass over a
+# circularly extended array (reduce_window verified on-chip, r2 probe
+# campaign); "roll" = the original log-doubling rolls (kept as fallback —
+# ~6 full-array passes at radius 10 vs ~3 for the window form).
+_SLIDING_IMPL = "window"
+
+
+def set_sliding_impl(name: str) -> None:
+    global _SLIDING_IMPL
+    if name not in ("window", "roll"):
+        raise ValueError(name)
+    _SLIDING_IMPL = name
+
+
 def sliding_max(x: jnp.ndarray, radius: int) -> jnp.ndarray:
     """Max over a ±radius window along the last axis, with *circular* edges.
 
     Spectra are circular in bin index, so wraparound is the semantically
-    correct boundary (stock reduce_window pads with −inf instead; the two
-    differ only within `radius` bins of the array ends). Log-doubling:
-    O(log radius) rolls instead of 2·radius.
+    correct boundary. Default implementation: extend the last axis
+    circularly by ``radius`` on each side and take one VALID
+    ``reduce_window`` pass — numerically identical to the roll-doubling
+    form (both are exact circular sliding maxima) at half the HBM passes.
     """
+    if _SLIDING_IMPL == "window":
+        ext = jnp.concatenate(
+            [x[..., -radius:], x, x[..., :radius]], axis=-1
+        )
+        dims = [1] * ext.ndim
+        dims[-1] = 2 * radius + 1
+        return jax.lax.reduce_window(
+            ext, -jnp.inf, jax.lax.max,
+            window_dimensions=tuple(dims),
+            window_strides=(1,) * ext.ndim,
+            padding="VALID",
+        )
     result = x
     span = 1
     shift = 1
