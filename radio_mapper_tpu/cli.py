@@ -71,6 +71,8 @@ def cmd_buoy(args):
         buoy_id=args.id,
         central_ws_url=args.central,
         development_mode=args.dev,
+        iq_wire_format=args.iq_wire_format,
+        iq_snippet_samples=args.snippet_samples,
     )
     if args.source == "sim":
         scen = sim.default_scenario(signal="noise", bandwidth_hz=50e3)
@@ -128,17 +130,20 @@ def cmd_simulate(args):
     from radio_mapper_tpu import geo, sim
     from radio_mapper_tpu.models.pipeline import PipelineConfig, TDOAPipeline
 
+    dwells = max(1, args.dwells)
     scen = sim.default_scenario(
         emitter_lat=args.lat, emitter_lng=args.lng, signal=args.signal,
         bandwidth_hz=args.bandwidth, snr_db=args.snr,
         timing_jitter_s=args.timing_jitter_us * 1e-6, seed=args.seed,
+        block_len=16_384 * dwells,
     )
     cap = sim.synthesize(scen)
     pipe = TDOAPipeline(
         PipelineConfig(
-            num_buoys=len(scen.buoys), block_len=scen.block_len,
+            num_buoys=len(scen.buoys), block_len=scen.block_len // dwells,
             sample_rate_hz=scen.sample_rate_hz, max_lag=600,
-            power_offset_db=40.0,
+            power_offset_db=40.0, correlation_dwells=dwells,
+            solver_starts=4 if dwells > 1 else 1,
         )
     )
     out = pipe.jit_step()(
@@ -150,6 +155,12 @@ def cmd_simulate(args):
     print(f"emitter (true): {scen.emitters[0].lat:.6f}, {scen.emitters[0].lng:.6f}")
     print(f"emitter (fix):  {float(lat):.6f}, {float(lng):.6f}")
     print(f"error: {err:.1f} m   residual rms: {float(np.asarray(out.fix.residual_rms_m)):.2f} m")
+    print(
+        "1-sigma ellipse: "
+        f"{float(np.asarray(out.fix.ellipse_major_m)):.1f} x "
+        f"{float(np.asarray(out.fix.ellipse_minor_m)):.1f} m @ "
+        f"{float(np.asarray(out.fix.ellipse_orientation_deg)):.0f} deg"
+    )
     print(f"pair lags (samples): {np.round(np.asarray(out.correlation.lag_samples), 2).tolist()}")
 
 
@@ -703,6 +714,10 @@ def build_parser() -> argparse.ArgumentParser:
     s.add_argument("--rtl-tcp", default="127.0.0.1:1234")
     s.add_argument("--sample-rate", type=float, default=2_048_000.0)
     s.add_argument("--dev", action="store_true", help="development mode (simulated GPS)")
+    s.add_argument("--iq-wire-format", choices=["u8", "f16", "json"], default="u8",
+                   help="snippet encoding on the wire (u8 ≈ 15× smaller than json)")
+    s.add_argument("--snippet-samples", type=int, default=2048,
+                   help="IQ samples attached per detection for waveform TDOA")
     s.set_defaults(fn=cmd_buoy)
 
     s = sub.add_parser("web", help="run the web dashboard")
@@ -721,6 +736,9 @@ def build_parser() -> argparse.ArgumentParser:
     s.add_argument("--snr", type=float, default=25.0)
     s.add_argument("--timing-jitter-us", type=float, default=0.0)
     s.add_argument("--seed", type=int, default=0)
+    s.add_argument("--dwells", type=int, default=1,
+                   help="narrowband mode: correlate this many consecutive "
+                        "dwells as one coherent capture (correlation_dwells)")
     s.set_defaults(fn=cmd_simulate)
 
     s = sub.add_parser("analyze", help="analyze .bin IQ captures")
