@@ -29,12 +29,10 @@ signal later ⇒ τ_ij > 0),
 
 from __future__ import annotations
 
-import functools
 from typing import NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from radio_mapper_tpu.constants import SPEED_OF_LIGHT_M_S
 

@@ -324,3 +324,26 @@ def test_pair_noise_model_covariance():
     d2 = np.einsum("ni,nij,nj->n", err, np.linalg.inv(cov), err)
     coverage = float(np.mean(d2 <= 2.279))
     assert 0.5 <= coverage <= 0.85, coverage
+
+
+def test_3d_solve_covariance_finite_and_vertical_weak():
+    """solve_2d=False exercises the full 3×3 inverse (_inv3): coplanar
+    receivers make altitude nearly unobservable, so the Up variance must
+    dwarf the horizontal ones while staying finite (det floor)."""
+    scen = sim.default_scenario()
+    anchors, emitter, i_idx, j_idx, dd = _scenario_dd(scen, timing_error_s=1e-6, seed=2)
+    res = solver.solve_tdoa(
+        jnp.asarray(anchors, jnp.float32),
+        jnp.asarray(i_idx),
+        jnp.asarray(j_idx),
+        jnp.asarray(dd, jnp.float32),
+        solve_2d=False,
+        sigma_m=jnp.float32(SPEED_OF_LIGHT_M_S * 1e-6),
+    )
+    cov = np.asarray(res.cov_enu, np.float64)
+    assert np.all(np.isfinite(cov))
+    up_var = cov[2, 2]
+    horiz_var = max(cov[0, 0], cov[1, 1])
+    assert up_var > 10.0 * horiz_var, (up_var, horiz_var)
+    # the horizontal ellipse stays sensible
+    assert 10.0 < float(np.asarray(res.ellipse_major_m)) < 1e7

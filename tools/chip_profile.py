@@ -33,7 +33,6 @@ import numpy as np
 def main(num_channels=128, num_buoys=8, block_len=16_384, max_lag=512,
          iters=20, rounds=3):
     import jax
-    import jax.numpy as jnp
 
     from radio_mapper_tpu import solver
     from radio_mapper_tpu.models.pipeline import PipelineConfig, TDOAPipeline
