@@ -115,6 +115,40 @@ def main():
             "collective_bytes_per_step": halo_bytes,
             "note": "ppermute halo (overlap-save history) only",
         }), flush=True)
+
+    # ---- pair-EP (all_gather spectra + psum normal equations) -----------
+    from radio_mapper_tpu.parallel.pair_ep import PairEPConfig, build_pair_ep_step
+    from jax.sharding import Mesh
+
+    ep_cfg = PairEPConfig(
+        num_buoys=32, block_len=2048, max_lag=128, solver_iterations=10,
+    )
+    import radio_mapper_tpu.ops.fft as fft_ops
+    nfft = fft_ops.friendly_fft_len(ep_cfg.block_len + ep_cfg.max_lag)
+    rng = np.random.default_rng(0)
+    ep_re = rng.normal(size=(32, 2048)).astype(np.float32)
+    ep_im = rng.normal(size=(32, 2048)).astype(np.float32)
+    ep_anchors = rng.normal(scale=5_000.0, size=(32, 3)).astype(np.float32)
+    ep_anchors[:, 2] = 0.0
+    for n in (1, 2, 4, 8):
+        mesh = Mesh(np.array(devices[:n]), ("pair",))
+        step, sh, (pi, _pj) = build_pair_ep_step(mesh, ep_cfg)
+        arrays = (
+            jax.device_put(ep_re, sh[0]),
+            jax.device_put(ep_im, sh[1]),
+            jax.device_put(ep_anchors, sh[2]),
+        )
+        dt = timed(step, arrays, args.iters)
+        # all_gather: each device contributes B/n spectra rows of nfft f32 x2
+        ag_bytes = 0 if n == 1 else 32 * nfft * 4 * 2
+        psum_bytes = ep_cfg.solver_iterations * 14 * 4 * (0 if n == 1 else 1)
+        print(json.dumps({
+            "program": "pair_ep", "devices": n,
+            "global_shape": f"32 buoys / {len(pi)} pairs x {ep_cfg.block_len}",
+            "wall_ms_per_step": round(dt * 1e3, 1),
+            "collective_bytes_per_step": ag_bytes + psum_bytes,
+            "note": "all_gather spectra + per-iteration psum",
+        }), flush=True)
     return 0
 
 
