@@ -38,6 +38,9 @@ def _setup_logging(verbose: bool):
 _CPU_DEFAULT_COMMANDS = {
     "demod", "adsb", "scan", "analyze", "capture", "sdrtest",
     "eeprom", "test", "setup", "web", "server",
+    # one-shot demo: a remote-TPU AOT compile costs minutes and the CPU
+    # answer is identical; --backend tpu still forces the chip
+    "simulate",
 }
 
 
@@ -146,8 +149,12 @@ def cmd_simulate(args):
             solver_starts=4 if dwells > 1 else 1,
         )
     )
-    out = pipe.jit_step()(
-        jnp.asarray(cap.iq, jnp.complex64), jnp.asarray(cap.buoy_enu, jnp.float32)
+    # split-complex path: the only one the target TPU runtime executes
+    # (complex elementwise jit is UNIMPLEMENTED there — docs/PROBES.md)
+    iq = np.asarray(cap.iq, np.complex64)
+    out = pipe.jit_step_split()(
+        jnp.asarray(iq.real), jnp.asarray(iq.imag),
+        jnp.asarray(cap.buoy_enu, jnp.float32),
     )
     est = np.asarray(out.fix.position_enu)
     lat, lng, _ = geo.enu_to_lat_lng(jnp.asarray(est), *scen.ref_origin)

@@ -52,8 +52,10 @@ class PeakSet(NamedTuple):
 def sliding_local_max(x: jnp.ndarray, radius: int) -> jnp.ndarray:
     """True where ``x`` equals the max of its ±radius window (last axis).
 
-    Safe mode uses circular roll-doubling (semantically right for spectra,
-    whose bin index wraps); stock mode uses reduce_window with −inf pads.
+    Safe mode uses an exact circular sliding max (one reduce_window over
+    a circularly extended axis — semantically right for spectra, whose
+    bin index wraps; see safe.sliding_max); stock mode uses reduce_window
+    with −inf pads.
     """
     if safe.enabled():
         return x >= safe.sliding_max(x, radius)

@@ -1,6 +1,7 @@
 """Safe-mode primitives: sort-, gather- and argmax-free reductions.
 
-These equivalents use only comparisons, reductions, `jnp.roll` and iota.
+These equivalents use comparisons, reductions, `reduce_window` (on-chip
+verified), `jnp.roll` and iota.
 The round-2 on-chip probe campaign (docs/PROBES.md) established that the
 stock ops they replace (sort/argsort/top_k/gather/median/reduce_window)
 are all *correct* on the target runtime — so this module is a measured
@@ -109,6 +110,10 @@ _SLIDING_IMPL = "window"
 
 
 def set_sliding_impl(name: str) -> None:
+    """TRACE-TIME routing (same caveat as set_safe_mode): jit caches are
+    shared per callable, so flipping this between jax.jit wrappers of the
+    same function silently reuses the first trace — give each routing its
+    own def/lambda when A/B-ing (docs/PROBES.md)."""
     global _SLIDING_IMPL
     if name not in ("window", "roll"):
         raise ValueError(name)
@@ -124,6 +129,12 @@ def sliding_max(x: jnp.ndarray, radius: int) -> jnp.ndarray:
     ``reduce_window`` pass — numerically identical to the roll-doubling
     form (both are exact circular sliding maxima) at half the HBM passes.
     """
+    if radius <= 0:
+        return x
+    length = x.shape[-1]
+    if radius >= length:
+        # circular window covers every bin: the global max everywhere
+        return jnp.broadcast_to(jnp.max(x, axis=-1, keepdims=True), x.shape)
     if _SLIDING_IMPL == "window":
         ext = jnp.concatenate(
             [x[..., -radius:], x, x[..., :radius]], axis=-1

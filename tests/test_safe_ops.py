@@ -180,3 +180,28 @@ def test_top_k_segmented_matches_flat_on_separated_candidates():
     np.testing.assert_array_equal(
         np.asarray(fi)[finite], np.asarray(si)[finite]
     )
+
+
+def test_sliding_max_impls_identical_and_edge_cases():
+    """The reduce_window form must equal roll-doubling for every radius,
+    including the radius=0 and radius>=length edge cases (regression:
+    x[..., -0:] slices the whole array, not zero elements)."""
+    import numpy as np
+
+    from radio_mapper_tpu.ops import safe
+
+    x = jnp.asarray(np.random.default_rng(3).normal(size=(2, 3, 64)).astype(np.float32))
+    for r in (0, 1, 5, 31, 63, 64, 100):
+        safe.set_sliding_impl("window")
+        a = np.asarray(safe.sliding_max(x, r))
+        safe.set_sliding_impl("roll")
+        b = np.asarray(safe.sliding_max(x, r))
+        safe.set_sliding_impl("window")
+        assert a.shape == x.shape, (r, a.shape)
+        if r < x.shape[-1]:
+            np.testing.assert_array_equal(a, b, err_msg=f"radius {r}")
+        else:
+            # circular window covers everything: global max everywhere
+            np.testing.assert_array_equal(
+                a, np.broadcast_to(np.asarray(x).max(-1, keepdims=True), a.shape)
+            )

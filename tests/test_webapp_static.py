@@ -11,9 +11,10 @@ path the proxy no longer serves.
 import re
 from pathlib import Path
 
-import pytest
-
-HTML = Path("radio_mapper_tpu/webapp/static/index.html").read_text()
+HTML = (
+    Path(__file__).resolve().parents[1]
+    / "radio_mapper_tpu/webapp/static/index.html"
+).read_text()
 
 
 def _script() -> str:

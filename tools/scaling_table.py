@@ -141,7 +141,8 @@ def main():
         dt = timed(step, arrays, args.iters)
         # all_gather: each device contributes B/n spectra rows of nfft f32 x2
         ag_bytes = 0 if n == 1 else 32 * nfft * 4 * 2
-        psum_bytes = ep_cfg.solver_iterations * 14 * 4 * (0 if n == 1 else 1)
+        # per LM iteration: g (3) + h (9) + cost (1) floats (pair_ep.py docstring)
+        psum_bytes = ep_cfg.solver_iterations * 13 * 4 * (0 if n == 1 else 1)
         print(json.dumps({
             "program": "pair_ep", "devices": n,
             "global_shape": f"32 buoys / {len(pi)} pairs x {ep_cfg.block_len}",
