@@ -56,6 +56,10 @@ class StreamingStepOutput(NamedTuple):
     psr: jnp.ndarray  # [M, P]
     weights: jnp.ndarray  # [M, P]
     cost: jnp.ndarray  # [M]
+    # per-subchannel 1σ horizontal error ellipse (solver CRLB)
+    ellipse_major_m: jnp.ndarray  # [M]
+    ellipse_minor_m: jnp.ndarray  # [M]
+    ellipse_orientation_deg: jnp.ndarray  # [M]
 
 
 class StreamingTDOA:
@@ -106,6 +110,9 @@ class StreamingTDOA:
             psr=corr.psr,
             weights=weights,
             cost=res.cost,
+            ellipse_major_m=res.ellipse_major_m,
+            ellipse_minor_m=res.ellipse_minor_m,
+            ellipse_orientation_deg=res.ellipse_orientation_deg,
         )
 
     def jit_step(self):

@@ -48,3 +48,18 @@ def test_bin_file_roundtrip(tmp_path):
     assert loaded.shape == (256,)
     # Quantization error bounded by half a count.
     np.testing.assert_allclose(loaded.real, np.clip(np.round(data.real), -127.5, 127.5), atol=0.51)
+
+
+def test_iq_wire_codec_error_paths():
+    """Unknown wire formats must raise, not silently mis-decode."""
+    import numpy as np
+    import pytest
+
+    from radio_mapper_tpu.runtime.datamodel import decode_iq_wire, encode_iq_wire
+
+    iq = (np.arange(8) + 1j * np.arange(8)).astype(np.complex64)
+    with pytest.raises(ValueError):
+        encode_iq_wire(iq, "f32")
+    samples, extra = encode_iq_wire(iq, "u8")
+    with pytest.raises(ValueError):
+        decode_iq_wire(samples, "u16", extra.get("iq_scale", 1.0))

@@ -247,3 +247,34 @@ def test_ingest_loop_end_to_end_real_time_cpu():
         assert stats.real_time_ratio > 0.8, stats
     finally:
         ing.close()
+
+
+def test_ingest_loop_underrun_raises():
+    """A stalled source must surface as an explicit underrun error, not a
+    silent short block."""
+    import jax
+    import numpy as np
+
+    from radio_mapper_tpu.ingest.runner import IngestLoop
+    from radio_mapper_tpu.models.pipeline import PipelineConfig, TDOAPipeline
+
+    pipe = TDOAPipeline(
+        PipelineConfig(num_buoys=2, block_len=4096, max_lag=64,
+                       solver_iterations=5)
+    )
+    anchors = jax.device_put(np.zeros((1, 2, 3), np.float32))
+    loop = IngestLoop(
+        pipe.jit_step_split_uint8(), None, channels=1, num_buoys=2,
+        block_len=4096, anchors=anchors,
+    )
+    loop.warm_compile()
+    # paced at a trickle: the first full-block read can't fill in time
+    ing = native.NativeIngest.open_synthetic_paced(
+        seed=1, bytes_per_s=1000.0, ring_bytes=1 << 20
+    )
+    loop.ingest = ing
+    try:
+        with pytest.raises(IOError):
+            loop._read_block(timeout_ms=200)
+    finally:
+        ing.close()
