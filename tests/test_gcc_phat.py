@@ -157,3 +157,15 @@ def test_coherent_blocks_validates_divisibility():
         gcc_phat.gcc_phat_all_pairs_coherent(
             sig, sample_rate_hz=FS, max_lag=16, num_blocks=3
         )
+
+
+def test_coherent_blocks_scot_weighting_runs():
+    """The dwell-averaged auto-power denominators (scot path) produce
+    finite windows and a sane peak for a strong stationary signal."""
+    x, y = _delayed_pair(9.0, n=32_768, snr_db=20.0, bw=500e3, seed=9)
+    sig = jnp.asarray(np.stack([x, y]), jnp.complex64)[None]
+    pk = gcc_phat.gcc_phat_all_pairs_coherent(
+        sig, sample_rate_hz=FS, max_lag=128, num_blocks=4, weighting="scot"
+    )
+    assert np.isfinite(np.asarray(pk.peak_value)).all()
+    assert abs(float(pk.lag_samples[0, 0]) - 9.0) < 0.5
