@@ -208,3 +208,25 @@ def test_pair_ep_fused_kernel_routing_matches_unfused():
     np.testing.assert_allclose(
         np.asarray(out_fused.fix_enu), np.asarray(out_unfused.fix_enu), atol=5.0
     )
+
+
+def test_pair_ep_output_carries_ellipse():
+    """The EP step's replicated fix includes its error ellipse fields."""
+    mesh = _mesh()
+    rng = np.random.default_rng(1)
+    cfg = PairEPConfig(
+        num_buoys=8, block_len=1024, sample_rate_hz=2_048_000.0, max_lag=64,
+        solver_iterations=8,
+    )
+    step, sh, _ = build_pair_ep_step(mesh, cfg)
+    re = jax.device_put(rng.normal(size=(8, 1024)).astype(np.float32), sh[0])
+    im = jax.device_put(rng.normal(size=(8, 1024)).astype(np.float32), sh[1])
+    anchors = rng.normal(scale=5_000.0, size=(8, 3)).astype(np.float32)
+    anchors[:, 2] = 0.0
+    out = step(re, im, jax.device_put(anchors, sh[2]))
+    major = float(np.asarray(out.ellipse_major_m))
+    minor = float(np.asarray(out.ellipse_minor_m))
+    brg = float(np.asarray(out.ellipse_orientation_deg))
+    assert np.isfinite([major, minor, brg]).all()
+    assert major >= minor >= 0.0
+    assert 0.0 <= brg < 180.0
