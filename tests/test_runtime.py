@@ -359,3 +359,33 @@ async def _webapp_devices():
             assert isinstance(d["lat"], float) and isinstance(d["lng"], float)
     finally:
         await app.stop()
+
+
+def test_correlation_triggers_coalesce():
+    """N triggers arriving during one slow pass collapse into (at most)
+    one follow-up pass — the mechanism behind the 7x capacity gain."""
+    import asyncio
+
+    from radio_mapper_tpu.runtime.central import CentralProcessor
+
+    async def run():
+        central = CentralProcessor(host="127.0.0.1", ws_port=0, http_port=0)
+        calls = 0
+
+        async def slow_pass():
+            nonlocal calls
+            calls += 1
+            await asyncio.sleep(0.05)
+
+        central.process_signal_correlations = slow_pass
+        for _ in range(10):
+            central._schedule_correlations()
+            await asyncio.sleep(0.01)
+        # let the worker drain
+        while central._corr_task is not None and not central._corr_task.done():
+            await asyncio.sleep(0.01)
+        return calls
+
+    calls = asyncio.run(run())
+    # 10 triggers over ~100 ms of 50 ms passes: ~2-4 passes, never 10
+    assert 1 <= calls <= 5, calls
