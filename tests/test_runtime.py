@@ -19,6 +19,7 @@ from radio_mapper_tpu.runtime.datamodel import (
     LiveSignalDetection,
     SignalDetection,
     to_json,
+    utc_now_iso,
 )
 from radio_mapper_tpu.runtime.tdoa_engine import (
     TDoAEngine,
@@ -389,3 +390,33 @@ def test_correlation_triggers_coalesce():
     calls = asyncio.run(run())
     # 10 triggers over ~100 ms of 50 ms passes: ~2-4 passes, never 10
     assert 1 <= calls <= 5, calls
+
+
+def test_timestamp_mode_ellipse_floored_by_clock_accuracy():
+    """A timestamp-differencing fix with 100 µs clocks must report a
+    c·(clock σ)-scale ellipse, never a deceptively tiny one (3-receiver
+    all-pairs sets fit exactly, so the residual estimate alone is blind)."""
+    from radio_mapper_tpu import sim
+    from radio_mapper_tpu.runtime.datamodel import BuoyPosition, SignalDetection
+    from radio_mapper_tpu.runtime.tdoa_engine import TDoAEngine
+
+    scen = sim.default_scenario()
+    eng = TDoAEngine(waveform_mode="never")
+    for b in scen.buoys:
+        eng.register_buoy(
+            BuoyPosition(buoy_id=b.buoy_id, lat=b.lat, lng=b.lng,
+                         timing_accuracy_ns=100_000)
+        )
+    dets = [
+        SignalDetection(
+            buoy_id=b.buoy_id, frequency_mhz=121.5, signal_strength_dbm=-50.0,
+            timestamp_utc=utc_now_iso(), gps_timestamp_ns=1_000_000_000 + k,
+            lat=b.lat, lng=b.lng, confidence=0.9, signal_type="emergency",
+        )
+        for k, b in enumerate(scen.buoys)
+    ]
+    results = eng.process_signal_detections(dets)
+    assert results and results[0].method == "hyperbolic-lm"
+    # 100 µs clocks ⇒ c·1e-4 ≈ 30 km per-receiver σ; the ellipse must be
+    # of that order, not meters
+    assert results[0].ellipse_major_m >= 10_000.0, results[0].ellipse_major_m
