@@ -1,6 +1,9 @@
 """End-to-end flagship pipeline tests (detect → correlate → solve)."""
 
+import dataclasses
+
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 from radio_mapper_tpu import sim
@@ -100,3 +103,45 @@ def test_example_inputs_compile():
     raw, anchors2 = pipe.example_inputs(batch=(), uint8=True)
     out2 = pipe.jit_step_uint8()(raw, anchors2)
     assert out2.fix.position_enu.shape == (3,)
+
+
+def test_freq_offset_portable_across_fused_and_unfused_paths():
+    """PeakSet.bin_index is path-dependent (block_len vs nfft grids) but
+    freq_offset_hz must agree across routings within one bin spacing —
+    the portability contract documented on PeakSet."""
+    from radio_mapper_tpu.ops import split_complex as sc_ops
+
+    scen = sim.default_scenario(
+        signal="tone", bandwidth_hz=1.0, snr_db=30.0, seed=4,
+        emitter_lat=35.46, emitter_lng=-97.50,
+    )
+    # put the tone well away from DC so the notch doesn't eat it
+    scen = dataclasses.replace(
+        scen, emitters=(dataclasses.replace(scen.emitters[0], freq_offset_hz=250_000.0),)
+    )
+    cap = sim.synthesize(scen)
+    iq = np.asarray(cap.iq, np.complex64)
+    pipe = TDOAPipeline(
+        PipelineConfig(
+            num_buoys=4, block_len=scen.block_len,
+            sample_rate_hz=scen.sample_rate_hz, max_lag=256,
+            power_offset_db=40.0,
+        )
+    )
+    outs = {}
+    for mode in ("on", "off"):
+        sc_ops.set_gcc_fused(mode)
+        try:
+            step = jax.jit(lambda r, i, a, _m=mode: pipe.step_split(r, i, a))
+            outs[mode] = step(
+                jnp.asarray(iq.real), jnp.asarray(iq.imag),
+                jnp.asarray(cap.buoy_enu, jnp.float32),
+            )
+        finally:
+            sc_ops.set_gcc_fused("auto")
+    bin_hz = scen.sample_rate_hz / scen.block_len
+    for b in range(4):
+        f_on = float(np.asarray(outs["on"].peaks.freq_offset_hz)[b, 0])
+        f_off = float(np.asarray(outs["off"].peaks.freq_offset_hz)[b, 0])
+        assert abs(f_on - 250_000.0) < 2 * bin_hz, f_on
+        assert abs(f_on - f_off) < 2 * bin_hz, (f_on, f_off)
