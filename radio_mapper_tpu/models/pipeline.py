@@ -178,6 +178,11 @@ class TDOAPipeline:
             from radio_mapper_tpu.ops.spectral import power_spectrum_db
 
             k, n = c.correlation_dwells, c.block_len
+            if iq.shape[-1] != k * n:
+                raise ValueError(
+                    f"correlation_dwells={k} expects capture length {k * n}, "
+                    f"got {iq.shape[-1]}"
+                )
             dwells = iq.reshape(*iq.shape[:-1], k, n)  # [..., B, K, N]
             # detection: dwell-averaged PSD (√K noise-floor variance cut)
             # on the per-dwell bin grid
@@ -312,6 +317,11 @@ class TDOAPipeline:
         targets single-dwell flagship sizes)."""
         c = self.config
         k, n = c.correlation_dwells, c.block_len
+        if re.shape[-1] != k * n:
+            raise ValueError(
+                f"correlation_dwells={k} expects capture length {k * n}, "
+                f"got {re.shape[-1]}"
+            )
         red = re.reshape(*re.shape[:-1], k, n)
         imd = im.reshape(*im.shape[:-1], k, n)
         power_db = (

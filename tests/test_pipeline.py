@@ -145,3 +145,18 @@ def test_freq_offset_portable_across_fused_and_unfused_paths():
         f_off = float(np.asarray(outs["off"].peaks.freq_offset_hz)[b, 0])
         assert abs(f_on - 250_000.0) < 2 * bin_hz, f_on
         assert abs(f_on - f_off) < 2 * bin_hz, (f_on, f_off)
+
+
+def test_multidwell_validates_capture_length():
+    import pytest
+
+    pipe = TDOAPipeline(
+        PipelineConfig(num_buoys=4, block_len=4096, correlation_dwells=4,
+                       max_lag=128)
+    )
+    bad = jnp.zeros((4, 4096), jnp.complex64)  # one dwell, not four
+    anchors = jnp.zeros((4, 3), jnp.float32)
+    with pytest.raises(ValueError, match="correlation_dwells"):
+        pipe.step(bad, anchors)
+    with pytest.raises(ValueError, match="correlation_dwells"):
+        pipe.step_split(bad.real, bad.imag, anchors)
