@@ -32,6 +32,8 @@ class NumpyJSONEncoder(json.JSONEncoder):
     (parity: `iq_stream_client.py:33-44`)."""
 
     def default(self, obj):
+        if isinstance(obj, np.bool_):
+            return bool(obj)
         if isinstance(obj, (np.integer,)):
             return int(obj)
         if isinstance(obj, (np.floating,)):

@@ -420,3 +420,13 @@ def test_timestamp_mode_ellipse_floored_by_clock_accuracy():
     # 100 µs clocks ⇒ c·1e-4 ≈ 30 km per-receiver σ; the ellipse must be
     # of that order, not meters
     assert results[0].ellipse_major_m >= 10_000.0, results[0].ellipse_major_m
+
+
+def test_numpy_json_encoder_handles_bool_and_scalars():
+    """np.bool_ (e.g. a converged flag or validity mask leaking into a
+    wire payload) must serialize, not crash the service JSON path."""
+    out = json.loads(
+        to_json({"b": np.bool_(True), "i": np.int64(3), "f": np.float32(1.5),
+                 "arr": np.array([1.0, 2.0])})
+    )
+    assert out == {"b": True, "i": 3, "f": 1.5, "arr": [1.0, 2.0]}
