@@ -347,3 +347,30 @@ def test_3d_solve_covariance_finite_and_vertical_weak():
     assert up_var > 10.0 * horiz_var, (up_var, horiz_var)
     # the horizontal ellipse stays sensible
     assert 10.0 < float(np.asarray(res.ellipse_major_m)) < 1e7
+
+
+def test_multistart_accepts_all_covariance_kwargs_combined():
+    """Multi-start + 3-D + pair noise model + known sigma + floor in one
+    call: the kwargs must compose (the floor dominates the smaller sigma)."""
+    scen = sim.default_scenario()
+    anchors = scen.buoy_enu()
+    emitter = scen.emitter_enu(scen.emitters[0])
+    i_idx, j_idx = pair_indices(len(anchors))
+    d = np.linalg.norm(anchors - emitter, axis=1)
+    dd = (d[i_idx] - d[j_idx]).astype(np.float32)
+    lo = solver.solve_tdoa_multistart(
+        jnp.asarray(anchors, jnp.float32), jnp.asarray(i_idx), jnp.asarray(j_idx),
+        jnp.asarray(dd), num_starts=3, solve_2d=False,
+        noise_model="pair", sigma_m=jnp.float32(50.0),
+    )
+    hi = solver.solve_tdoa_multistart(
+        jnp.asarray(anchors, jnp.float32), jnp.asarray(i_idx), jnp.asarray(j_idx),
+        jnp.asarray(dd), num_starts=3, solve_2d=False,
+        noise_model="pair", sigma_m=jnp.float32(50.0),
+        sigma_floor_m=jnp.float32(100.0),
+    )
+    err = float(np.linalg.norm(np.asarray(hi.position_enu)[:2] - emitter[:2]))
+    assert err < 50.0
+    # floor (100) doubles sigma vs the bare sigma_m=50 run -> 2x the axes
+    ratio = float(hi.ellipse_major_m) / float(lo.ellipse_major_m)
+    assert abs(ratio - 2.0) < 0.05, ratio
