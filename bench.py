@@ -421,10 +421,13 @@ def main():
     # Start at ≤32 ch: the host→device leg here rides an SSH tunnel, and
     # 64+ ch real time needs >2.4 GB/s of transfer — physical deployments
     # have PCIe; the sweep finds what THIS link sustains.
+    # Ladder 32 → 8 → 1 (each rung is a fresh remote compile; finer
+    # halving adds minutes of compile for little information — the
+    # measured regimes are "compute-rich link" vs "tunnel-bound").
     ingest = None
     ingest_channels = None
-    try_channels = min(best.get("channels") or 32, 32)
-    while try_channels >= 1:
+    ladder = [c for c in (32, 8, 1) if c <= min(best.get("channels") or 32, 32)]
+    for try_channels in ladder:
         try:
             st = run_ingest_bench(channels=try_channels)
             _log(
@@ -438,7 +441,6 @@ def main():
                 break
         except Exception as e:
             _log(f"ingest bench {try_channels}ch failed: {e}")
-        try_channels //= 2
     ingest_bpd = 1
     if ingest is None or ingest.real_time_ratio < 0.95:
         # Dispatch-floor amortization: one more attempt at 1 ch with 8
