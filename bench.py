@@ -17,8 +17,9 @@ Methodology (replaces round 1's best-of-two, per VERDICT r1 §weak-1):
 - every timing is an epoch of ``iters`` CHAINED dispatches closed by ONE
   derived-scalar host fetch, elapsed/iters (block_until_ready does not
   span remote execution on this backend and per-call sync pays a ~20 ms
-  tunnel RTT — docs/PROBES.md); two epochs per config, the better is
-  reported and the spread printed to stderr as a variance check;
+  tunnel RTT — docs/PROBES.md); three epochs per config, the MEDIAN is
+  the headline (best epoch kept as a secondary field) and the spread is
+  printed to stderr as a variance check;
 - ``mfu`` = achieved FLOP/s ÷ the chip's peak (XLA's own per-program
   cost_analysis supplies the FLOP count; analytic DFT-matmul count is the
   fallback). This is the framework's analog of the reference's only perf
