@@ -76,6 +76,11 @@ class BuoyNodeConfig:
     # Snippet wire encoding: "u8" (base64 uint8 + scale, rtl-native 8-bit,
     # ~15× smaller than the JSON float pairs — `rtl_tcp.c:144-188` moves
     # raw bytes for the same reason), "f16", or "json" (legacy fallback).
+    # Compatibility contract: every message carries an explicit
+    # ``iq_format`` key, and this framework's central decodes per-message
+    # from it (runtime/datamodel.py decode path) — buoy and central may
+    # mix wire formats freely. External consumers that predate the key
+    # must be pointed at ``iq_wire_format="json"`` (ADVICE r3).
     iq_wire_format: str = "u8"
     gps_update_interval_s: float = 60.0  # `buoy_node.py:657-681`
     # On capture failure, emit simulated detections instead of a dead

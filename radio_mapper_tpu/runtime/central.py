@@ -251,7 +251,9 @@ class CentralProcessor:
         """Trigger a correlation pass, coalescing concurrent triggers."""
         self._corr_dirty = True
         if self._corr_task is None or self._corr_task.done():
-            self._corr_task = asyncio.get_event_loop().create_task(
+            # Callers are always inside the running server loop;
+            # get_event_loop() from sync context is deprecated (ADVICE r3).
+            self._corr_task = asyncio.get_running_loop().create_task(
                 self._correlation_worker()
             )
 
@@ -309,7 +311,7 @@ class CentralProcessor:
                 for d in dets
             ]
             with self.metrics.timer("triangulation").time():
-                results = await asyncio.get_event_loop().run_in_executor(
+                results = await asyncio.get_running_loop().run_in_executor(
                     None, self.engine.process_signal_detections, detections
                 )
             for r in results:
@@ -498,9 +500,9 @@ class CentralProcessor:
                 logger.warning("search fan-out to %s failed", node.node_id)
         matches: list = []
         try:
-            deadline = asyncio.get_event_loop().time() + timeout_s
+            deadline = asyncio.get_running_loop().time() + timeout_s
             for _ in range(queried):
-                remaining = deadline - asyncio.get_event_loop().time()
+                remaining = deadline - asyncio.get_running_loop().time()
                 if remaining <= 0:
                     break
                 resp = await asyncio.wait_for(queue.get(), timeout=remaining)

@@ -122,7 +122,11 @@ def _inv3(a, floor: float = 1e-20):
     c01 = a12 * a20 - a10 * a22
     c02 = a10 * a21 - a11 * a20
     det = a00 * c00 + a01 * c01 + a02 * c02
-    inv_det = 1.0 / jnp.where(jnp.abs(det) < floor, floor, det)
+    # Sign-preserving floor: replacing a small NEGATIVE det with +floor
+    # would flip the sign of every inverse element, turning a near-singular
+    # covariance negative-definite instead of huge-positive.
+    sign = jnp.where(det < 0, -1.0, 1.0)
+    inv_det = sign / jnp.maximum(jnp.abs(det), floor)
     c10 = a02 * a21 - a01 * a22
     c11 = a00 * a22 - a02 * a20
     c12 = a01 * a20 - a00 * a21
