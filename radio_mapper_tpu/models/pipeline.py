@@ -237,17 +237,33 @@ class TDOAPipeline:
         if c.correlation_dwells > 1:
             return self._step_split_multidwell(re, im, anchors_enu)
         use_fused = sc_ops.gcc_fused_enabled(n + c.max_lag, c.weighting)
+        fused_detect = False
         if use_fused:
             # ONE forward transform (CT bin order) feeds both stages: the
-            # detector takes the power spectrum through a single cheap
-            # un-permuting transpose, the fused pair stage consumes the
-            # CT-order spectra directly — no second FFT pass, no complex
-            # bin transpose, ever.
+            # fused pair stage consumes the CT-order spectra directly, and
+            # the detector either runs the fused CT detect kernel (one
+            # VMEM pass, no natural-order power array in HBM at all) or
+            # falls back to a single cheap un-permuting transpose — no
+            # second FFT pass, no complex bin transpose, ever.
             ct_spectra = sc_ops.receiver_spectra_ct(re, im, max_lag=c.max_lag)
-            power_db = (
-                sc_ops.ct_power_db(ct_spectra[0], ct_spectra[1])
-                + c.power_offset_db
+            fused_detect = detect_ops.fused_detect_enabled(
+                ct_spectra[2],
+                min_distance_bins=constants.DEFAULT_PEAK_MIN_DISTANCE_BINS,
+                noise_floor_stride=c.noise_floor_stride,
             )
+            if fused_detect:
+                peaks = detect_ops.detect_peaks_ct(
+                    ct_spectra[0], ct_spectra[1],
+                    sample_rate_hz=c.sample_rate_hz,
+                    max_peaks=c.max_peaks,
+                    threshold_db=c.detection_threshold_db,
+                    power_offset_db=c.power_offset_db,
+                )
+            else:
+                power_db = (
+                    sc_ops.ct_power_db(ct_spectra[0], ct_spectra[1])
+                    + c.power_offset_db
+                )
         else:
             spectra = sc_ops.receiver_spectra_split(re, im, max_lag=c.max_lag)
             if spectra[2] == 2 * n:
@@ -264,13 +280,14 @@ class TDOAPipeline:
                 power_db = (
                     sc_ops.power_spectrum_db_split(re, im) + c.power_offset_db
                 )
-        peaks = detect_ops.detect_peaks(
-            power_db,
-            sample_rate_hz=c.sample_rate_hz,
-            max_peaks=c.max_peaks,
-            threshold_db=c.detection_threshold_db,
-            noise_floor_stride=c.noise_floor_stride,
-        )
+        if not fused_detect:
+            peaks = detect_ops.detect_peaks(
+                power_db,
+                sample_rate_hz=c.sample_rate_hz,
+                max_peaks=c.max_peaks,
+                threshold_db=c.detection_threshold_db,
+                noise_floor_stride=c.noise_floor_stride,
+            )
         if use_fused:
             # Whole pair stage (whiten × iFFT × lag slice) fused in VMEM —
             # the CT-order forward never materializes a bin transpose.

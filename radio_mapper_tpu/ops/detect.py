@@ -168,6 +168,113 @@ def detect_peaks(
     )
 
 
+# ------------------------------------------------------ fused CT detect
+#
+# "auto": fused Pallas detect kernel on TPU when the shape allows;
+# "on": force (interpret mode off-TPU — for numerics tests); "off": never.
+_FUSED_DETECT = "auto"
+
+
+def set_fused_detect(mode: str) -> None:
+    if mode not in ("auto", "on", "off"):
+        raise ValueError(f"unknown fused-detect mode {mode!r}")
+    global _FUSED_DETECT
+    _FUSED_DETECT = mode
+
+
+def fused_detect_enabled(
+    nfft: int, *, min_distance_bins: int, noise_floor_stride: int
+) -> bool:
+    """Route the detect stage to the fused Pallas kernel?"""
+    if _FUSED_DETECT == "off":
+        return False
+    try:
+        from radio_mapper_tpu.ops.pallas import detect_kernel
+    except ImportError:  # pragma: no cover
+        return False
+    if not detect_kernel.supported(
+        nfft,
+        min_distance_bins=min_distance_bins,
+        noise_floor_stride=noise_floor_stride,
+    ):
+        return False
+    return _FUSED_DETECT == "on" or jax.default_backend() == "tpu"
+
+
+def detect_peaks_ct(
+    spec_re: jnp.ndarray,
+    spec_im: jnp.ndarray,
+    *,
+    sample_rate_hz: float,
+    max_peaks: int = 8,
+    threshold_db: float = constants.DEFAULT_DETECTION_THRESHOLD_DBM,
+    min_distance_bins: int = constants.DEFAULT_PEAK_MIN_DISTANCE_BINS,
+    dc_notch_hz: Optional[float] = constants.DEFAULT_DC_NOTCH_HZ,
+    confidence_floor: float = constants.DEFAULT_CONFIDENCE_FLOOR,
+    snr_fullscale_db: float = constants.DEFAULT_SNR_FULLSCALE_DB,
+    power_offset_db: float = 0.0,
+    vma=None,
+) -> PeakSet:
+    """Top-K peak detection directly on CT-order spectra, fused in VMEM.
+
+    Equal to ``detect_peaks(ct_power_db(fr, fi) + power_offset_db, ...)``
+    under safe mode (stride-8 noise floor, segmented top-k) — same gates,
+    ulp-identical noise floor, same minimum-spacing contract — but the
+    power array never round-trips HBM in natural order: the Pallas kernel
+    (ops/pallas/detect_kernel.py) reads the spectra once and emits F/8
+    segment partials; only this top-K tail runs in XLA. Exactly-equal
+    candidates in different segments tie-break by CT segment order
+    (b2-major) instead of natural segment order — both honor the
+    minimum-spacing contract.
+    """
+    from radio_mapper_tpu.ops.pallas import detect_kernel, fft_kernel
+
+    nfft = spec_re.shape[-1]
+    n1, n2 = fft_kernel.ct_split(nfft)
+    score, seg_arg, noise_floor = detect_kernel.detect_ct_partials(
+        spec_re, spec_im,
+        sample_rate_hz=sample_rate_hz,
+        threshold_db=threshold_db,
+        min_distance_bins=min_distance_bins,
+        dc_notch_hz=dc_notch_hz,
+        confidence_floor=confidence_floor,
+        snr_fullscale_db=snr_fullscale_db,
+        power_offset_db=power_offset_db,
+        vma=vma,
+    )
+    if safe.enabled():
+        top_vals, top_f = safe.top_k(score, max_peaks)
+        off = safe.take_many_last(seg_arg, top_f)
+    else:
+        top_vals, top_f = jax.lax.top_k(score, max_peaks)
+        off = jnp.take_along_axis(seg_arg, top_f, axis=-1)
+    # segment f = b2·n1 + k1 covers natural bins (8·b2 + off) + n2·k1
+    b2 = top_f // n1
+    k1 = top_f - b2 * n1
+    top_idx = detect_kernel.SEGMENT * b2 + off.astype(jnp.int32) + n2 * k1
+    valid = jnp.isfinite(top_vals)
+    # dB only for the K winners (same float ops as ct_power_db + offset
+    # on the same linear values ⇒ identical results)
+    vals_safe = jnp.where(valid, top_vals, 1.0)
+    top_db = 10.0 * jnp.log10(vals_safe + 1e-24) + power_offset_db
+    peak_snr = top_db - noise_floor[..., None]
+    peak_conf = jnp.clip(peak_snr / snr_fullscale_db, 0.0, 1.0)
+    kf = top_idx.astype(jnp.float32)
+    peak_freq = jnp.where(top_idx <= (nfft - 1) // 2, kf, kf - nfft) * jnp.float32(
+        sample_rate_hz / nfft
+    )
+    zero = jnp.zeros_like(peak_snr)
+    return PeakSet(
+        bin_index=jnp.where(valid, top_idx, 0).astype(jnp.int32),
+        freq_offset_hz=jnp.where(valid, peak_freq, zero),
+        power_db=jnp.where(valid, top_db, zero),
+        snr_db=jnp.where(valid, peak_snr, zero),
+        confidence=jnp.where(valid, peak_conf, zero),
+        valid=valid,
+        noise_floor_db=noise_floor,
+    )
+
+
 def detect_signals(
     iq: jnp.ndarray,
     *,

@@ -116,6 +116,14 @@ def build_pair_ep_step(mesh: Mesh, config: PairEPConfig, *, axis: str = "pair"):
     from radio_mapper_tpu.ops import split_complex as sc_ops
 
     use_fused = sc_ops.gcc_fused_enabled(cfg.block_len + cfg.max_lag, cfg.weighting)
+    # The auto routing keys off jax.default_backend(), but THIS step runs
+    # on the mesh's devices — which may be virtual CPU devices in a
+    # process whose default backend is the TPU (the driver's multichip
+    # dryrun under the axon sitecustomize). A compiled Pallas call cannot
+    # lower for CPU, so require the mesh itself to be TPU unless the
+    # routing is explicitly forced on (interpret-mode tests).
+    if sc_ops._GCC_FUSED != "on" and mesh.devices.flat[0].platform != "tpu":
+        use_fused = False
 
     def local_step(re_l, im_l, anchors, pi_l, pj_l, valid_l):
         # re_l/im_l: [B/n, N] — this shard's receivers.
