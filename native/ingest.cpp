@@ -287,6 +287,42 @@ long rmt_ingest_read(int handle, uint8_t* out, size_t nbytes, int timeout_ms,
   return static_cast<long>(got);
 }
 
+// Multi-threaded drain: same contract as rmt_ingest_read but the ring→out
+// memcpy is split across `threads` ranges copied in parallel. The SPSC
+// invariant holds — the consumer is still ONE logical reader: ranges are
+// computed from a single tail snapshot and the tail advances once, after
+// every worker joined. Worth it only for multi-MB blocks (the 64-ch
+// flagship block is 16.8 MB; a single-thread memcpy leg measured
+// ~3 GB/s on the dev host, ~4× short of the 256-ch aggregate byte rate).
+long rmt_ingest_read_mt(int handle, uint8_t* out, size_t nbytes,
+                        int timeout_ms, int64_t* ts_ns, int threads) {
+  rmt::Ingest* ing = rmt::get(handle);
+  if (!ing) return -1;
+  if (threads < 2 || nbytes < (4u << 20)) {
+    return rmt_ingest_read(handle, out, nbytes, timeout_ms, ts_ns);
+  }
+  if (threads > 16) threads = 16;
+  size_t got = 0;
+  auto deadline = std::chrono::steady_clock::now() +
+                  std::chrono::milliseconds(timeout_ms);
+  while (got < nbytes) {
+    size_t want = nbytes - got;
+    size_t avail = ing->ring.readable();
+    size_t n = std::min(want, avail);
+    if (n >= (1u << 20) || (n > 0 && n == want)) {
+      got += ing->ring.read_ranges(out + got, n, threads);
+      if (got >= nbytes) break;
+      continue;
+    }
+    if (ing->error && avail == 0) break;
+    std::unique_lock<std::mutex> lk(ing->mu);
+    if (ing->cv.wait_until(lk, deadline) == std::cv_status::timeout) break;
+  }
+  ing->read_bytes.fetch_add(got, std::memory_order_relaxed);
+  if (ts_ns) *ts_ns = ing->last_ts_ns.load(std::memory_order_acquire);
+  return static_cast<long>(got);
+}
+
 // uint8 interleaved I/Q -> float32 (u8 - 127.5) * scale, vector-friendly.
 void rmt_ingest_decode(const uint8_t* in, size_t n, float scale, float* out) {
   for (size_t i = 0; i < n; i++) {

@@ -11,6 +11,7 @@
 #include <atomic>
 #include <cstdint>
 #include <cstring>
+#include <thread>
 #include <vector>
 
 namespace rmt {
@@ -70,6 +71,38 @@ class RingBuffer {
     size_t first = std::min(n, capacity() - idx);
     std::memcpy(out, buf_.data() + idx, first);
     if (n > first) std::memcpy(out + first, buf_.data(), n - first);
+    tail_.store(tail + n, std::memory_order_release);
+    return n;
+  }
+
+  // Consumer: read exactly n (≤ readable()) bytes with the memcpy split
+  // across `threads` parallel ranges. Still SPSC-correct: one tail
+  // snapshot defines every range, workers touch disjoint spans of both
+  // ring and destination, and the tail advances ONCE after all joined —
+  // the producer never sees a partial read. Caller must ensure
+  // n <= readable() (checked; excess is clamped).
+  size_t read_ranges(uint8_t* out, size_t n, int threads) {
+    size_t avail = readable();
+    n = std::min(n, avail);
+    if (n == 0) return 0;
+    size_t tail = tail_.load(std::memory_order_relaxed);
+    size_t per = (n + threads - 1) / threads;
+    std::vector<std::thread> workers;
+    workers.reserve(threads - 1);
+    auto copy_span = [this](uint8_t* dst, size_t src_pos, size_t len) {
+      size_t idx = src_pos & mask_;
+      size_t first = std::min(len, capacity() - idx);
+      std::memcpy(dst, buf_.data() + idx, first);
+      if (len > first) std::memcpy(dst + first, buf_.data(), len - first);
+    };
+    for (int t = 1; t < threads; t++) {
+      size_t off = static_cast<size_t>(t) * per;
+      if (off >= n) break;
+      size_t len = std::min(per, n - off);
+      workers.emplace_back(copy_span, out + off, tail + off, len);
+    }
+    copy_span(out, tail, std::min(per, n));
+    for (auto& w : workers) w.join();
     tail_.store(tail + n, std::memory_order_release);
     return n;
   }

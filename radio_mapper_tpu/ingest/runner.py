@@ -72,6 +72,7 @@ class IngestLoop:
         source_samples_per_s: float = 0.0,
         device_put: Optional[Callable] = None,
         blocks_per_dispatch: int = 1,
+        drain_threads: int = 0,
     ):
         """``blocks_per_dispatch > 1`` stacks k consecutive blocks as a
         leading batch axis per step call — the pipeline is batch-generic,
@@ -93,6 +94,15 @@ class IngestLoop:
         self.block_bytes = (
             self.blocks_per_dispatch * channels * num_buoys * 2 * block_len
         )
+        # Zero-allocation hot path: two pre-allocated destinations
+        # alternate (double buffering — slot k may still be in flight in
+        # the async device_put while slot k+1 fills), drained from the
+        # ring by the C++ parallel-memcpy leg when drain_threads > 1.
+        self.drain_threads = int(drain_threads)
+        self._slots = [
+            np.empty(self.block_bytes, np.uint8) for _ in range(2)
+        ]
+        self._slot_idx = 0
 
     def warm_compile(self, seed: int = 0):
         """Compile + execute the step on a synthetic block (no ring read).
@@ -113,13 +123,22 @@ class IngestLoop:
         return base
 
     def _read_block(self, timeout_ms: int = 10_000) -> np.ndarray:
-        raw, _ts = self.ingest.read_bytes(self.block_bytes, timeout_ms)
-        if raw.size < self.block_bytes:
+        buf = self._slots[self._slot_idx]
+        self._slot_idx ^= 1
+        if hasattr(self.ingest, "read_into"):
+            got, _ts = self.ingest.read_into(
+                buf, timeout_ms, threads=self.drain_threads
+            )
+        else:  # pure-Python sources
+            raw, _ts = self.ingest.read_bytes(self.block_bytes, timeout_ms)
+            got = raw.size
+            buf[:got] = raw
+        if got < self.block_bytes:
             raise IOError(
-                f"ring underrun: wanted {self.block_bytes} got {raw.size} "
+                f"ring underrun: wanted {self.block_bytes} got {got} "
                 "(source stalled or timeout too small)"
             )
-        return raw.reshape(self._block_shape())
+        return buf.reshape(self._block_shape())
 
     def run(self, num_steps: int, *, warmup_steps: int = 1) -> IngestLoopStats:
         """Run the overlap loop; returns sustained-throughput stats.

@@ -389,6 +389,43 @@ class TDOAPipeline:
         re, im = sc_ops.decode_uint8_split(raw)
         return self.step_split(re, im, anchors_enu)
 
+    # -- multi-block scan steps ------------------------------------------
+
+    def step_split_uint8_scan(
+        self, raw: jnp.ndarray, anchors_enu: jnp.ndarray
+    ) -> PipelineOutput:
+        """K consecutive blocks in ONE dispatch: ``raw [K, ..., B, 2N]``.
+
+        `lax.scan` folds the per-dispatch floor (~1.45-2.3 ms on the
+        remote runtime, ~15% of a single 128-ch step — docs/PROBES.md)
+        across K blocks while compiling the block body ONCE — unlike a
+        leading batch axis, the program size and peak HBM working set
+        stay those of a single block, so K scales without recompiling a
+        bigger graph or pressuring memory. Outputs stack on a leading K
+        axis (block k's results at index k, oldest first).
+        """
+        def body(carry, blk):
+            return carry, self.step_split_uint8(blk, anchors_enu)
+
+        _, outs = jax.lax.scan(body, 0, raw)
+        return outs
+
+    def step_split_scan(
+        self, re: jnp.ndarray, im: jnp.ndarray, anchors_enu: jnp.ndarray
+    ) -> PipelineOutput:
+        """Scan variant of :meth:`step_split`: ``re/im [K, ..., B, N]``."""
+        def body(carry, blk):
+            return carry, self.step_split(blk[0], blk[1], anchors_enu)
+
+        _, outs = jax.lax.scan(body, 0, (re, im))
+        return outs
+
+    def jit_step_split_uint8_scan(self):
+        return jax.jit(self.step_split_uint8_scan)
+
+    def jit_step_split_scan(self):
+        return jax.jit(self.step_split_scan)
+
     def jit_step_split(self):
         return jax.jit(self.step_split)
 
