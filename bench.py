@@ -288,6 +288,28 @@ def run_ep_microbench(
     return len(pi) / dt
 
 
+def run_wideband_bench(*, iters: int = 10):
+    """BASELINE config 4 for real: 64 buoys × 10 MS/s wideband → 16-way
+    polyphase channelizer → per-subchannel all-pairs GCC-PHAT (2016
+    pairs) → LM solve, one chip, one jitted program (VERDICT r3 item 3).
+    Returns (ms_per_block, wide_samples_per_s, pairs_per_s)."""
+    import jax
+
+    from radio_mapper_tpu.models.wideband import WidebandConfig, WidebandTDOAPipeline
+
+    cfg = WidebandConfig()
+    pipe = WidebandTDOAPipeline(cfg)
+    args = jax.device_put(pipe.example_inputs(seed=0))
+    step = pipe.jit_step_split()
+    t0 = time.perf_counter()
+    _force(step(*args))
+    _log(f"wideband config-4 compile+first {time.perf_counter()-t0:.1f}s")
+    dt = _epoch_time(step, args, iters=iters, warmup=1)
+    wide_rate = cfg.num_buoys * cfg.wide_block / dt
+    pair_rate = cfg.num_subchannels * cfg.num_pairs / dt
+    return dt * 1e3, wide_rate, pair_rate
+
+
 def run_ingest_bench(
     *, channels: int = 32, num_buoys: int = 8, block_len: int = 16_384,
     sample_rate_hz: float = 2_400_000.0, max_lag: int = 512, steps: int = 30,
@@ -471,6 +493,16 @@ def main():
     except Exception as e:
         _log(f"ep microbench failed: {e}")
 
+    wb = None
+    try:
+        wb = run_wideband_bench()
+        _log(
+            f"wideband config-4: {wb[0]:.1f} ms/block = {wb[1]/1e6:.1f} wide MS/s "
+            f"(64 buoys x 10 MS/s), {wb[2]/1e3:.0f}k pairs/s"
+        )
+    except Exception as e:
+        _log(f"wideband config-4 bench failed: {e}")
+
     # Ingest-closed sustained run (VERDICT r2 item 1): real-time pace for
     # the benched channel count; halve channels until the loop keeps up.
     # Start at ≤32 ch: the host→device leg here rides an SSH tunnel, and
@@ -572,6 +604,8 @@ def main():
                 "ingest_loopback_host_ms": (
                     round(loopback.host_read_ms_per_step, 3) if loopback else None
                 ),
+                "wideband_ms_per_block": round(wb[0], 2) if wb else None,
+                "wideband_pairs_per_s": round(wb[2], 1) if wb else None,
                 "step_ms": round(best.get("step_s", 0.0) * 1e3, 3),
                 "path": best.get("path"),
                 "backend": backend,

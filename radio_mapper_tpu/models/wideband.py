@@ -1,0 +1,203 @@
+"""Wideband channelized TDOA: BASELINE config 4 end-to-end.
+
+"64 buoys wideband (10 MS/s) with polyphase channelizer + all-pairs
+GCC-PHAT, 1 host" (BASELINE.json configs[3]). The reference covers wide
+spectrum by HOPPING one narrow tuner through a 35 s schedule
+(`/root/reference/buoy_node.py:146-153`); the TPU design watches the
+whole band at once: each buoy's 10 MS/s stream splits into M uniform
+subchannels (ops/channelizer PFB), and every subchannel runs the full
+all-pairs GCC-PHAT + LM solve — 64 receivers ⇒ 2016 pairs per
+subchannel, M·2016 pair correlations per block.
+
+Structure per step (one jit-compiled program):
+
+  re/im [B, N_wide] ── PFB channelize (split-complex) ──► [M, B, n_sub]
+    └─ lax.scan over M subchannels:
+         forward CT FFT (B rows) ─► one-hot pair gather (2·P rows)
+         ─► row-aligned fused GCC kernel (whiten × iDFT × lag window)
+         ─► peak pick ─► PSR weights ─► batched LM solve
+       ⇒ per-subchannel fixes [M, 3] + lags/weights [M, P]
+
+`lax.scan` (not a batch axis) keeps the peak working set at ONE
+subchannel's pair spectra (~165 MB at P=2016, nfft 5120) instead of M×
+that, and compiles the subchannel body once — the same argument as the
+flagship multi-block scan (models/pipeline.py). The pair stage reuses
+`gcc_kernel.gcc_rows_lag_mags`, the exact shape proven on-chip by the
+r3 EP bench (2016 pairs / 4.19 ms incl. solve, docs/PROBES.md).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from radio_mapper_tpu import solver
+from radio_mapper_tpu.ops import fft as fft_ops
+from radio_mapper_tpu.ops import gcc_phat as gcc_ops
+from radio_mapper_tpu.ops import split_complex as sc_ops
+
+
+@dataclasses.dataclass(frozen=True)
+class WidebandConfig:
+    num_buoys: int = 64
+    wide_rate_hz: float = 10_000_000.0
+    num_subchannels: int = 16
+    taps_per_channel: int = 8
+    sub_block: int = 4096  # per-subchannel samples per step
+    max_lag: int = 128  # at the subchannel rate (50 km ⇒ ~104 @ 625 kS/s)
+    weighting: str = "phat"
+    gcc_eps: float = 0.05
+    solver_iterations: int = 15
+    psr_floor: float = 1.1
+    psr_scale: float = 2.0
+
+    @property
+    def num_pairs(self) -> int:
+        return self.num_buoys * (self.num_buoys - 1) // 2
+
+    @property
+    def wide_block(self) -> int:
+        """Wideband samples per buoy per step: the PFB eats T−1 frames of
+        filter history, so M·(n_sub + T − 1) input samples yield exactly
+        n_sub output frames per subchannel."""
+        return self.num_subchannels * (self.sub_block + self.taps_per_channel - 1)
+
+    @property
+    def sub_rate_hz(self) -> float:
+        return self.wide_rate_hz / self.num_subchannels
+
+    def validate(self) -> "WidebandConfig":
+        if self.max_lag >= self.sub_block:
+            raise ValueError("max_lag must be < sub_block")
+        if self.num_buoys < 2:
+            raise ValueError("need at least 2 receivers")
+        return self
+
+
+class WidebandOutput(NamedTuple):
+    fixes_enu: jnp.ndarray  # [M, 3] per-subchannel position
+    cost: jnp.ndarray  # [M]
+    lags: jnp.ndarray  # [M, P] pair lags (subchannel samples)
+    weights: jnp.ndarray  # [M, P]
+    channel_offset_hz: np.ndarray  # [M] static subchannel centers
+
+
+class WidebandTDOAPipeline:
+    """Config-4 pipeline for a fixed static configuration."""
+
+    def __init__(self, config: WidebandConfig):
+        self.config = config.validate()
+        i_idx, j_idx = gcc_ops.pair_indices(config.num_buoys)
+        self.pair_i = np.asarray(i_idx)
+        self.pair_j = np.asarray(j_idx)
+        self._use_fused = sc_ops.gcc_fused_enabled(
+            config.sub_block + config.max_lag, config.weighting
+        )
+
+    def _pair_stage(self, cre, cim):
+        """One subchannel: [B, n_sub] split spectra → [P, 2L+1] |r|."""
+        c = self.config
+        L = c.max_lag
+        b = c.num_buoys
+        if self._use_fused:
+            fr, fi, nfft = sc_ops.receiver_spectra_ct(cre, cim, max_lag=L)
+        else:
+            nfft = fft_ops.friendly_fft_len(c.sub_block + L)
+            pad = [(0, 0), (0, nfft - c.sub_block)]
+            fr, fi = fft_ops.fft_re_im(jnp.pad(cre, pad), jnp.pad(cim, pad))
+        # One-hot matmul pair gather (X row k pairs Y row k) — the proven
+        # fast gather on this runtime (ops/safe.pair_select rationale).
+        hot = lambda idx: (
+            jnp.asarray(idx)[:, None] == jnp.arange(b)[None, :]
+        ).astype(jnp.float32)
+        hi, hj = hot(self.pair_i), hot(self.pair_j)
+        take = lambda h, a: jnp.dot(h, a, preferred_element_type=jnp.float32)
+        xfr, xfi = take(hi, fr), take(hi, fi)
+        yfr, yfi = take(hj, fr), take(hj, fi)
+        if self._use_fused:
+            from radio_mapper_tpu.ops.pallas import gcc_kernel
+
+            return gcc_kernel.gcc_rows_lag_mags(
+                xfr, xfi, yfr, yfi,
+                max_lag=L, eps=c.gcc_eps, weighting=c.weighting,
+            )
+        rre = xfr * yfr + xfi * yfi
+        rim = xfi * yfr - xfr * yfi
+        if c.weighting == "phat":
+            mag = jnp.sqrt(rre * rre + rim * rim)
+            scale = jnp.max(mag, axis=-1, keepdims=True)
+            denom = mag + c.gcc_eps * scale + 1e-30
+            rre, rim = rre / denom, rim / denom
+        ire, iim = fft_ops.fft_re_im(rre, -rim)
+        ire, iim = ire / nfft, -iim / nfft
+        win = lambda a: jnp.concatenate([a[..., nfft - L:], a[..., : L + 1]], -1)
+        return jnp.sqrt(win(ire) ** 2 + win(iim) ** 2)
+
+    def step_split(
+        self, re: jnp.ndarray, im: jnp.ndarray, anchors_enu: jnp.ndarray
+    ) -> WidebandOutput:
+        """Full config-4 step.
+
+        Args:
+          re/im: ``[B, wide_block]`` float32 wideband IQ per buoy.
+          anchors_enu: ``[B, 3]`` receiver positions.
+        """
+        c = self.config
+        if re.shape != (c.num_buoys, c.wide_block):
+            raise ValueError(
+                f"expected wideband block {(c.num_buoys, c.wide_block)}, "
+                f"got {re.shape}"
+            )
+        cre, cim = sc_ops.channelize_split(
+            re, im, c.num_subchannels,
+            sample_rate_hz=c.wide_rate_hz,
+            taps_per_channel=c.taps_per_channel,
+            shift=False,  # scan order = FFT bin order; offsets map below
+        )  # [B, M, n_sub]
+        cre = jnp.moveaxis(cre, -2, 0)  # [M, B, n_sub]
+        cim = jnp.moveaxis(cim, -2, 0)
+
+        def body(carry, xs):
+            sre, sim = xs
+            mags = self._pair_stage(sre, sim)
+            pk = gcc_ops.peaks_from_lag_mags(
+                mags, sample_rate_hz=c.sub_rate_hz, max_lag=c.max_lag
+            )
+            weights = jnp.clip(
+                (pk.psr - c.psr_floor) / c.psr_scale, 0.0, 1.0
+            ) + 1e-3
+            dd = solver.tau_to_distance_difference(pk.tau_s)
+            # impl (not the jitted wrapper): the scan body is already
+            # traced; a nested jit would just add dispatch layering.
+            res = solver.solve_tdoa_impl(
+                anchors_enu, self.pair_i, self.pair_j, dd, weights,
+                iterations=c.solver_iterations,
+            )
+            return carry, (res.position_enu, res.cost, pk.lag_samples, weights)
+
+        _, (fixes, cost, lags, weights) = jax.lax.scan(body, 0, (cre, cim))
+        return WidebandOutput(
+            fixes_enu=fixes,
+            cost=cost,
+            lags=lags,
+            weights=weights,
+            channel_offset_hz=np.fft.fftfreq(
+                c.num_subchannels, d=1.0 / c.wide_rate_hz
+            ),
+        )
+
+    def jit_step_split(self):
+        return jax.jit(self.step_split)
+
+    def example_inputs(self, *, seed: int = 0) -> Tuple[jnp.ndarray, ...]:
+        c = self.config
+        rng = np.random.default_rng(seed)
+        re = rng.normal(size=(c.num_buoys, c.wide_block)).astype(np.float32)
+        im = rng.normal(size=(c.num_buoys, c.wide_block)).astype(np.float32)
+        anchors = rng.normal(scale=8_000.0, size=(c.num_buoys, 3)).astype(np.float32)
+        anchors[:, 2] = 0.0
+        return jnp.asarray(re), jnp.asarray(im), jnp.asarray(anchors)
