@@ -156,15 +156,38 @@ def build_pipeline_step(
     sample_rate_hz: float = 2_400_000.0,
     max_lag: int = 512,
     path: str = "auto",  # auto | split | complex
+    scan_blocks: int = 1,
 ):
     """Compile ONE step (remote AOT compiles cost minutes — reuse it for
-    every epoch). Returns (name, compiled_step, args, flops_per_step)."""
+    every epoch). Returns (name, compiled_step, args, flops_per_step).
+
+    ``scan_blocks=K > 1`` compiles the K-block `lax.scan` program
+    (pipeline.step_split_scan): one dispatch covers K blocks, amortizing
+    the ~1.5-2.3 ms per-dispatch floor AND the tunnel's per-dispatch
+    jitter — measured on-chip r4: 8.1 ms/block at 128 ch with K=4, epoch
+    spread 1.5% where the single-block program swung 2× (probe_ab_step_r4).
+    FLOPs returned are PER BLOCK.
+    """
     import jax
 
     pipe = _build(num_channels, num_buoys, block_len, sample_rate_hz, max_lag)
     # Build on host and split BEFORE any device transfer: some TPU runtimes
     # cannot device_put complex64 at all.
     re, im, anchors = pipe.example_inputs(batch=(num_channels,), seed=0, split=True)
+    if scan_blocks > 1:
+        if path == "complex":
+            raise ValueError("scan_blocks supports the split path only")
+        rng = np.random.default_rng(1)
+        mk = lambda: rng.normal(
+            size=(scan_blocks, *re.shape)
+        ).astype(np.float32)
+        name = f"split-scan{scan_blocks}"
+        return (
+            name,
+            pipe.jit_step_split_scan(),
+            tuple(jax.device_put((mk(), mk(), anchors))),
+            _analytic_step_flops(num_channels, num_buoys, block_len, max_lag),
+        )
 
     attempts = []
     if path in ("auto", "split"):
@@ -427,50 +450,52 @@ def main():
         sc_ops.set_gcc_fused(mode)
         _log(f"GCC fused routing forced: {mode}")
 
-    # Channel-count sweep: the per-program latency floor of remote TPU
-    # runtimes is amortized differently at different batch sizes. Two
-    # fetch-closed epochs per config (elapsed/iters each); the better is
-    # reported, the spread logged. (16 dropped: with the dispatch floor
-    # amortized at 32/64 it never wins, and every config costs a
-    # multi-minute remote compile. The program compiles ONCE per config;
-    # both timing epochs reuse it.)
-    # 128 probes further along the amortization curve: 64 ch halved the
-    # per-sample cost vs 32 (7.06 vs 11.6 ms/step — the step carries a
-    # multi-ms dispatch+RTT floor), so bigger batches keep winning until
-    # compute dominates. Each config's failure is caught and skipped.
-    # 256 added r3: each step carries a ~1.45 ms dispatch floor (measured,
-    # docs/PROBES.md), so doubling the per-dispatch batch keeps paying off
-    # until HBM pressure bites (~1 GB working set at 256 — fine on 16 GB).
+    # Channel-count sweep over 4-block lax.scan programs (r4): one
+    # dispatch covers 4 blocks, amortizing the ~1.5-2.3 ms dispatch floor
+    # AND the tunnel's per-dispatch jitter — measured epoch spread fell
+    # from 26-57% (r3 single-block) to ~1.5% (probe_ab_step_r4). Each
+    # config compiles once; headline = TRIMMED median over 5 epochs with
+    # a tunnel-state guard (epochs slower than 2× the fastest are
+    # discarded as tunnel stalls, VERDICT r3 item 5). Channel ladder
+    # starts at 64: the floor is already amortized by the scan, and every
+    # config costs a multi-minute remote compile.
+    scan_k = int(os.environ.get("BENCH_SCAN_BLOCKS", "4"))
     best = {"rate": 0.0}
-    for ch in (32, 64, 128, 256):
+    for ch in (64, 128, 256):
         try:
-            path, step, args, flops = build_pipeline_step(num_channels=ch)
+            path, step, args, flops = build_pipeline_step(
+                num_channels=ch, scan_blocks=scan_k
+            )
         except Exception as e:
             _log(f"bench channels={ch} failed entirely: {e}")
             continue
-        samples = ch * 8 * 16_384
+        samples = scan_k * ch * 8 * 16_384
         epochs = []
-        for epoch in range(3):
-            # warmup=3: the first fetch-closed epoch after a fresh remote
-            # compile still measured ~65% slow with warmup=1 (service-side
-            # warm-up effects persist past the first execution).
-            step_s = _epoch_time(step, args, iters=30, warmup=3 if epoch == 0 else 1)
-            epochs.append((samples / step_s, step_s))
-        # Median-of-epochs is the headline (VERDICT r2 item 10); best-of
-        # stays as a secondary field for comparison with earlier rounds.
+        for epoch in range(5):
+            # warmup=3 on the first epoch: compile + service warm-up
+            # effects persist past the first execution (docs/PROBES.md).
+            step_s = _epoch_time(
+                step, args, iters=15, warmup=3 if epoch == 0 else 1
+            )
+            epochs.append((samples / step_s, step_s / scan_k))
         epochs.sort()
-        rate, step_s = epochs[len(epochs) // 2]
+        spread = (epochs[-1][0] - epochs[0][0]) / epochs[len(epochs) // 2][0]
+        # tunnel-state guard: drop epochs >2× slower than the best
+        kept = [e for e in epochs if e[1] <= 2.0 * epochs[-1][1]]
+        rate, blk_s = kept[len(kept) // 2]
         rate_best = epochs[-1][0]
-        spread = (epochs[-1][0] - epochs[0][0]) / rate
-        _log(f"channels={ch}: epoch spread {spread*100:.1f}%")
         _log(
-            f"channels={ch}: median {rate/1e6:.1f} MS/s/chip "
-            f"(best {rate_best/1e6:.1f}, path={path}, {step_s*1e3:.2f} ms/step)"
+            f"channels={ch} x{scan_k}blk: epoch spread {spread*100:.1f}%, "
+            f"kept {len(kept)}/{len(epochs)}"
+        )
+        _log(
+            f"channels={ch}: trimmed median {rate/1e6:.1f} MS/s/chip "
+            f"(best {rate_best/1e6:.1f}, path={path}, {blk_s*1e3:.2f} ms/block)"
         )
         if rate > best["rate"]:
             best = {
                 "rate": rate, "rate_best": rate_best, "path": path,
-                "step_s": step_s, "flops": flops, "channels": ch,
+                "step_s": blk_s, "flops": flops, "channels": ch,
             }
 
     fft_rate = 0.0

@@ -126,20 +126,29 @@ def test_linear_geometry_ellipse_reports_cross_track_ambiguity():
 
 
 def test_ellipse_monte_carlo_coverage():
-    """1σ CRLB ellipse calibration against Monte-Carlo scatter.
+    """1σ CRLB ellipse calibration against Monte-Carlo scatter — PINNED.
 
     Per-receiver timing noise, known σ: the fraction of trials inside the
-    68% confidence ellipse (Mahalanobis² ≤ 2.279 for 2-D) must be ≈ 0.68,
-    and the predicted major axis must match the empirical scatter.
+    68% confidence ellipse (Mahalanobis² ≤ 2.279 for 2-D) must be 0.68
+    within ±2% (VERDICT r3 item 6). Diagnosis of the r3 "65% vs 68%"
+    finding: it was Monte-Carlo sampling noise — at the old N=200 the
+    coverage SE is 3.3%, so 65% sat within 1σ of nominal; at N=4000
+    (SE 0.74%) the measured coverage is 68.8%, i.e. the receiver-model
+    GLS sandwich is calibrated, with no linearization or σ-estimation
+    bias at this noise level (bias_m ≈ 3 m ≪ 213 m scatter).
     """
     scen = sim.default_scenario()
     anchors = scen.buoy_enu()
     emitter = scen.emitter_enu(scen.emitters[0])
     i_idx, j_idx = pair_indices(len(anchors))
-    n_trials, sigma_t = 200, 1e-6
-    dds = np.stack(
-        [_scenario_dd(scen, timing_error_s=sigma_t, seed=s)[4] for s in range(n_trials)]
+    n_trials, sigma_t = 4000, 1e-6
+    rng = np.random.default_rng(0)
+    dists = np.linalg.norm(anchors - emitter, axis=1)
+    delays = dists / SPEED_OF_LIGHT_M_S
+    noisy = delays[None, :] + rng.normal(
+        scale=sigma_t, size=(n_trials, len(anchors))
     )
+    dds = (noisy[:, i_idx] - noisy[:, j_idx]) * SPEED_OF_LIGHT_M_S
     res = solver.solve_tdoa(
         jnp.asarray(anchors, jnp.float32),
         jnp.asarray(i_idx),
@@ -152,11 +161,11 @@ def test_ellipse_monte_carlo_coverage():
     cov = np.asarray(res.cov_enu)[:, :2, :2].astype(np.float64)
     d2 = np.einsum("ni,nij,nj->n", err, np.linalg.inv(cov), err)
     coverage = float(np.mean(d2 <= 2.279))
-    assert 0.50 <= coverage <= 0.85, coverage
-    # predicted axis within 2× of the empirical scatter scale
+    assert 0.66 <= coverage <= 0.70, coverage
+    # predicted axis matches the empirical scatter scale
     pred = float(np.median(np.asarray(res.ellipse_major_m)))
     scatter = float(err.std(axis=0).max())
-    assert 0.5 < pred / scatter < 2.0, (pred, scatter)
+    assert 0.9 < pred / scatter < 1.1, (pred, scatter)
 
 
 def test_ellipse_residual_sigma_estimate_right_order():
