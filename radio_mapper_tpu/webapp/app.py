@@ -191,6 +191,7 @@ class WebApp:
     def build_app(self) -> web.Application:
         app = web.Application()
         app.router.add_get("/", self.index)
+        app.router.add_static("/static/", STATIC_DIR)
         app.router.add_get("/api/local-status", self.local_status)
         app.router.add_get("/api/devices", self.devices)
         def proxy_route(path):

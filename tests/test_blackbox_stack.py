@@ -107,6 +107,10 @@ def test_blackbox_stack():
         ):
             assert marker in html or marker.capitalize() in html, marker
 
+        # The pure JS layer is served (index.html references it).
+        _, appjs = _get(f"http://127.0.0.1:{WEB_PORT}/static/app.js")
+        assert "function statusModel(" in appjs
+
         # Prometheus metrics exposed.
         _, metrics = _get(f"http://127.0.0.1:{HTTP_PORT}/metrics")
         assert "detections_received" in metrics
