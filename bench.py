@@ -336,7 +336,7 @@ def run_wideband_bench(*, iters: int = 10):
 def run_ingest_bench(
     *, channels: int = 32, num_buoys: int = 8, block_len: int = 16_384,
     sample_rate_hz: float = 2_400_000.0, max_lag: int = 512, steps: int = 30,
-    blocks_per_dispatch: int = 1,
+    blocks_per_dispatch: int = 1, overdrive: float = 1.0,
 ):
     """Ingest-closed sustained throughput: native ring → double-buffered
     host→HBM uint8 upload → jitted step, paced at REAL TIME for the
@@ -356,8 +356,16 @@ def run_ingest_bench(
         np.ascontiguousarray(np.broadcast_to(anchors, (channels, num_buoys, 3)))
     )
     rate_samples = channels * num_buoys * sample_rate_hz
+    # Multi-block dispatches use the lax.scan program (r4): the
+    # [K, ch, B, 2N] block stack IS the scan input, one dispatch covers K
+    # blocks of budget with the block body compiled once.
+    step = (
+        pipe.jit_step_split_uint8_scan()
+        if blocks_per_dispatch > 1
+        else pipe.jit_step_split_uint8()
+    )
     loop = IngestLoop(
-        pipe.jit_step_split_uint8(), None,
+        step, None,
         channels=channels, num_buoys=num_buoys, block_len=block_len,
         anchors=anchors, source_samples_per_s=rate_samples,
         blocks_per_dispatch=blocks_per_dispatch,
@@ -366,10 +374,15 @@ def run_ingest_bench(
     loop.warm_compile()
     _log(f"ingest u8-step compile+first {time.perf_counter()-t0:.1f}s")
     # ring sized for ~8 dispatches of headroom
+    # ``overdrive`` paces the virtual SDR clock FASTER than nominal: a
+    # nominal-paced source caps the measurable ratio at 1.0 (the consumer
+    # cannot outrun production), so drops==0 at overdrive×nominal is how
+    # ">1× real time with headroom" is actually demonstrated. The
+    # reported real_time_ratio stays relative to the NOMINAL rate.
     block_bytes = blocks_per_dispatch * channels * num_buoys * 2 * block_len
     ring = 1 << max(24, (block_bytes * 8).bit_length())
     ing = NativeIngest.open_synthetic_paced(
-        seed=1, bytes_per_s=2.0 * rate_samples, ring_bytes=ring
+        seed=1, bytes_per_s=overdrive * 2.0 * rate_samples, ring_bytes=ring
     )
     loop.ingest = ing
     try:
@@ -556,13 +569,17 @@ def main():
     ingest_bpd = 1
     if ingest is None or ingest.real_time_ratio < 0.95:
         # Dispatch-floor amortization: one more attempt at 1 ch with 8
-        # blocks per dispatch (the link's fixed per-dispatch costs eat a
-        # single 6.8 ms block budget; batching spreads them 8x).
+        # blocks per lax.scan dispatch (the link's fixed per-dispatch
+        # costs eat a single 6.8 ms block budget; the scan spreads them
+        # 8x), paced at 1.3x nominal — drops==0 there demonstrates the
+        # >=1.2x-real-time headroom VERDICT r3 item 4 asks for.
         try:
-            st = run_ingest_bench(channels=1, blocks_per_dispatch=8)
+            st = run_ingest_bench(channels=1, blocks_per_dispatch=8,
+                                  overdrive=1.3)
             _log(
-                f"ingest 1ch x8blk: {st.sustained_samples_per_s/1e6:.1f} MS/s "
-                f"({st.real_time_ratio:.2f}x real time), drops={st.drops}"
+                f"ingest 1ch x8blk-scan @1.3x pace: "
+                f"{st.sustained_samples_per_s/1e6:.1f} MS/s "
+                f"({st.real_time_ratio:.2f}x nominal), drops={st.drops}"
             )
             if ingest is None or st.real_time_ratio > ingest.real_time_ratio:
                 ingest, ingest_channels, ingest_bpd = st, 1, 8
