@@ -245,7 +245,10 @@ class TDOAPipeline:
             # VMEM pass, no natural-order power array in HBM at all) or
             # falls back to a single cheap un-permuting transpose — no
             # second FFT pass, no complex bin transpose, ever.
-            ct_spectra = sc_ops.receiver_spectra_ct(re, im, max_lag=c.max_lag)
+            ct_spectra = sc_ops.receiver_spectra_ct(
+                re, im, max_lag=c.max_lag,
+                precision=sc_ops.gcc_forward_precision(c.weighting),
+            )
             fused_detect = detect_ops.fused_detect_enabled(
                 ct_spectra[2],
                 min_distance_bins=constants.DEFAULT_PEAK_MIN_DISTANCE_BINS,

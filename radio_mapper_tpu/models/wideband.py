@@ -104,7 +104,10 @@ class WidebandTDOAPipeline:
         L = c.max_lag
         b = c.num_buoys
         if self._use_fused:
-            fr, fi, nfft = sc_ops.receiver_spectra_ct(cre, cim, max_lag=L)
+            fr, fi, nfft = sc_ops.receiver_spectra_ct(
+                cre, cim, max_lag=L,
+                precision=sc_ops.gcc_forward_precision(c.weighting),
+            )
         else:
             nfft = fft_ops.friendly_fft_len(c.sub_block + L)
             pad = [(0, 0), (0, nfft - c.sub_block)]

@@ -102,7 +102,7 @@ def _dot_bf16x3(a, b, dn):
     return d(a_hi, b_hi) + d(a_hi, b_lo) + d(a_lo, b_hi)
 
 
-def kernel_dot(inverse: bool = False):
+def kernel_dot(inverse: bool = False, override: Optional[str] = None):
     """Trace-time dot factory for Pallas kernels: honors the module FFT
     precision knob, implementing HIGH as explicit bf16x3 (see above)
     instead of rounding it up to HIGHEST. Returns ``dot(a, b, dn)``.
@@ -110,12 +110,21 @@ def kernel_dot(inverse: bool = False):
     ``inverse=True`` selects the whitened-inverse knob
     (`fft.set_inverse_precision`, default single-pass bf16 — the PHAT
     transform flattens dynamic range, measured τ parity 1.1e-5 samples
-    vs bf16x3 on-chip at the flagship shape)."""
+    vs bf16x3 on-chip at the flagship shape). ``override`` (a name from
+    `fft._PRECISION_TABLE`) bypasses both knobs — PHAT chains pass
+    'default' for their FORWARD transform too: the whitening consumes
+    only cross-spectrum PHASE, whose per-bin bf16 noise averages down
+    across the thousands of bins a τ estimate integrates (measured
+    on-chip r4: τ parity 4.6e-5 samples vs bf16x3, step 7.46 → 6.80
+    ms/block at 128 ch — docs/probe_logs/ab_fwd_precision.log)."""
     import jax as _jax
 
     from radio_mapper_tpu.ops import fft as fft_ops
 
-    p = fft_ops.get_inverse_precision() if inverse else fft_ops.get_precision()
+    if override is not None:
+        p = fft_ops._PRECISION_TABLE[override]
+    else:
+        p = fft_ops.get_inverse_precision() if inverse else fft_ops.get_precision()
     if p == _jax.lax.Precision.HIGH:
         return _dot_bf16x3
     return lambda a, b, dn: jax.lax.dot_general(
@@ -372,7 +381,7 @@ def _fft_rows_ct_kernel(
     xre_ref, xim_ref,
     w1re_ref, w1im_ref, w2re_ref, w2im_ref, twre_ref, twim_ref,
     ore_ref, oim_ref,
-    *, n1: int, n2: int, rows: int,
+    *, n1: int, n2: int, rows: int, precision: Optional[str] = None,
 ):
     """Forward DFT of `rows` rows, output in CT order m = k2·n1 + k1.
 
@@ -380,7 +389,7 @@ def _fft_rows_ct_kernel(
     transpose REMOVED — which is also what makes it compile for any
     n1 ≡ 0 (mod 128) regardless of n2.
     """
-    dot = kernel_dot()
+    dot = kernel_dot(override=precision)
     dn = (((1,), (0,)), ((), ()))
 
     w1re, w1im = w1re_ref[:], w1im_ref[:]
@@ -424,6 +433,7 @@ def fft_rows_ct(
     rows_per_block: Optional[int] = None,
     interpret: Optional[bool] = None,
     vma=None,
+    precision: Optional[str] = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Batched forward FFT emitting CT-order bins (see module note).
 
@@ -464,7 +474,10 @@ def fft_rows_ct(
     )
     const_spec = lambda a: pl.BlockSpec(a.shape, lambda i: (0, 0), memory_space=pltpu.VMEM)
 
-    kernel = functools.partial(_fft_rows_ct_kernel, n1=n1, n2=n2, rows=rows_per_block)
+    kernel = functools.partial(
+        _fft_rows_ct_kernel, n1=n1, n2=n2, rows=rows_per_block,
+        precision=precision,
+    )
     out_re, out_im = pl.pallas_call(
         kernel,
         grid=grid,

@@ -40,7 +40,14 @@ from radio_mapper_tpu.ops.pallas import fft_kernel
 # Pairs processed per grid cell. 32 measured 1.16× faster than 8 at the
 # flagship shape (one spectra fetch + bigger inverse matmuls; interleaved
 # on-chip A/B, docs/PROBES.md r3); VMEM stays a few MB per plane.
+# Consulted at TRACE time via set_default_pair_chunk (same caveat as
+# every routing knob: jit caches are shared per callable).
 DEFAULT_PAIR_CHUNK = 32
+
+
+def set_default_pair_chunk(n: int) -> None:
+    global DEFAULT_PAIR_CHUNK
+    DEFAULT_PAIR_CHUNK = int(n)
 
 WEIGHTINGS = ("phat", "cc")
 
@@ -231,7 +238,7 @@ def gcc_pair_lag_mags(
     max_lag: int,
     eps: float = 0.05,
     weighting: str = "phat",
-    pair_chunk: int = DEFAULT_PAIR_CHUNK,
+    pair_chunk: Optional[int] = None,
     interpret: Optional[bool] = None,
     vma=None,
 ) -> jnp.ndarray:
@@ -246,6 +253,8 @@ def gcc_pair_lag_mags(
     """
     if weighting not in WEIGHTINGS:
         raise ValueError(f"fused GCC supports {WEIGHTINGS}, not {weighting!r}")
+    if pair_chunk is None:
+        pair_chunk = DEFAULT_PAIR_CHUNK
     nfft = spec_re.shape[-1]
     b = spec_re.shape[-2]
     n1, n2, w1re, w1im, w2re, w2im, twre, twim = fft_kernel.ct_constants(
@@ -380,7 +389,7 @@ def gcc_rows_lag_mags(
     max_lag: int,
     eps: float = 0.05,
     weighting: str = "phat",
-    rows_chunk: int = DEFAULT_PAIR_CHUNK,
+    rows_chunk: Optional[int] = None,
     interpret: Optional[bool] = None,
     vma=None,
 ) -> jnp.ndarray:
@@ -399,6 +408,8 @@ def gcc_rows_lag_mags(
     """
     if weighting not in WEIGHTINGS:
         raise ValueError(f"fused GCC supports {WEIGHTINGS}, not {weighting!r}")
+    if rows_chunk is None:
+        rows_chunk = DEFAULT_PAIR_CHUNK
     nfft = xre.shape[-1]
     p = xre.shape[0]
     n1, n2, w1re, w1im, w2re, w2im, twre, twim = fft_kernel.ct_constants(

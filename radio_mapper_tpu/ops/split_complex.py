@@ -243,8 +243,23 @@ def gcc_fused_enabled(min_len: int, weighting: str) -> bool:
     return _GCC_FUSED == "on" or jax.default_backend() == "tpu"
 
 
+def gcc_forward_precision(weighting: str) -> Optional[str]:
+    """Forward-transform precision for a GCC chain.
+
+    PHAT consumes only cross-spectrum PHASE (magnitude is whitened away),
+    and per-bin bf16 phase noise averages down across the thousands of
+    bins a τ estimate integrates — measured on-chip r4: single-pass bf16
+    forward matches bf16x3 to 4.6e-5 samples of τ while cutting the
+    flagship step 7.46 → 6.80 ms/block (probe_ab_fwd_precision). "cc"
+    keeps the module default (HIGH → bf16x3): the unwhitened correlation
+    carries the signal's real dynamic range.
+    """
+    return "default" if weighting == "phat" else None
+
+
 def receiver_spectra_ct(
-    sig_re: jnp.ndarray, sig_im: jnp.ndarray, *, max_lag: int, vma=None
+    sig_re: jnp.ndarray, sig_im: jnp.ndarray, *, max_lag: int, vma=None,
+    precision: Optional[str] = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, int]:
     """Padded per-receiver CT-order spectra for the fused GCC path.
 
@@ -253,7 +268,8 @@ def receiver_spectra_ct(
     (`fft_kernel.fft_rows_ct`). Exposed separately so ONE forward
     transform feeds both the fused pair stage and the peak detector
     (via :func:`ct_power_db` — the detection FFT is otherwise a second
-    full pass over every receiver's block).
+    full pass over every receiver's block). ``precision``: see
+    :func:`gcc_forward_precision`.
     """
     from radio_mapper_tpu.ops.pallas import fft_kernel, gcc_kernel
 
@@ -262,7 +278,9 @@ def receiver_spectra_ct(
         raise ValueError(f"max_lag {max_lag} must be < block length {n}")
     nfft = gcc_kernel.plan_nfft(n + max_lag)
     pad = lambda a: jnp.pad(a, [(0, 0)] * (a.ndim - 1) + [(0, nfft - n)])
-    fr, fi = fft_kernel.fft_rows_ct(pad(sig_re), pad(sig_im), vma=vma)
+    fr, fi = fft_kernel.fft_rows_ct(
+        pad(sig_re), pad(sig_im), vma=vma, precision=precision
+    )
     return fr, fi, nfft
 
 

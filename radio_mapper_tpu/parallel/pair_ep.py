@@ -129,7 +129,8 @@ def build_pair_ep_step(mesh: Mesh, config: PairEPConfig, *, axis: str = "pair"):
         # re_l/im_l: [B/n, N] — this shard's receivers.
         if use_fused:
             fr_l, fi_l, nfft_ct = sc_ops.receiver_spectra_ct(
-                re_l, im_l, max_lag=cfg.max_lag, vma=(axis,)
+                re_l, im_l, max_lag=cfg.max_lag, vma=(axis,),
+                precision=sc_ops.gcc_forward_precision(cfg.weighting),
             )
         else:
             pad = [(0, 0), (0, nfft - cfg.block_len)]
