@@ -453,6 +453,23 @@ def main():
     backend = jax.default_backend()
     peak = PEAK_FLOPS_BY_PLATFORM.get(backend)
 
+    # Tunnel-free host-leg proof FIRST, before any TPU work touches the
+    # process: the r4 validation run showed the loopback reading 10×
+    # slower when run after the chip sections (1.41 GB/s standalone vs
+    # 0.14 in-process — CPU-client state left by the heavy TPU sections),
+    # and its numbers must reflect the drain, not process history.
+    loopback = None
+    try:
+        loopback = run_ingest_loopback_bench()
+        _log(
+            f"ingest loopback 32ch (no tunnel): "
+            f"{loopback.sustained_samples_per_s*2/1e9:.2f} GB/s "
+            f"({loopback.real_time_ratio:.2f}x real time), drops={loopback.drops}, "
+            f"host {loopback.host_read_ms_per_step:.2f} ms/step"
+        )
+    except Exception as e:
+        _log(f"ingest loopback bench failed: {e}")
+
     # A/B hook: BENCH_GCC_FUSED=on|off|auto forces the GCC pair-stage
     # routing (fused Pallas kernel vs XLA matmul path) for clean
     # comparisons on the same tunnel state.
@@ -587,21 +604,6 @@ def main():
                 ingest, ingest_channels, ingest_bpd = st, 1, 8
         except Exception as e:
             _log(f"ingest 1ch x8blk failed: {e}")
-
-    # Tunnel-free host-leg proof: the repo-owned ingest drain at the
-    # 32-ch flagship byte rate (VERDICT r3 item 2) — drops == 0 is the
-    # criterion; the chip ingest ladder above remains the link-bound view.
-    loopback = None
-    try:
-        loopback = run_ingest_loopback_bench()
-        _log(
-            f"ingest loopback 32ch (no tunnel): "
-            f"{loopback.sustained_samples_per_s*2/1e9:.2f} GB/s "
-            f"({loopback.real_time_ratio:.2f}x real time), drops={loopback.drops}, "
-            f"host {loopback.host_read_ms_per_step:.2f} ms/step"
-        )
-    except Exception as e:
-        _log(f"ingest loopback bench failed: {e}")
 
     mfu = None
     if best["rate"] > 0 and peak and best.get("flops"):

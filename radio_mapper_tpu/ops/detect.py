@@ -214,6 +214,12 @@ def detect_peaks_ct(
     snr_fullscale_db: float = constants.DEFAULT_SNR_FULLSCALE_DB,
     power_offset_db: float = 0.0,
     vma=None,
+    # In-kernel top-K A/B'd on-chip r4: wall-clock NEUTRAL vs the
+    # two-stage partials + XLA top-k (7.12 vs 6.96 ms/block medians,
+    # inside tunnel noise — the F/8 partials stage was already cheap),
+    # with exact peak parity. Two-stage stays the default; the in-kernel
+    # mode remains available (docs/probe_logs/ab_topk.log).
+    kernel_topk: bool = False,
 ) -> PeakSet:
     """Top-K peak detection directly on CT-order spectra, fused in VMEM.
 
@@ -241,17 +247,24 @@ def detect_peaks_ct(
         snr_fullscale_db=snr_fullscale_db,
         power_offset_db=power_offset_db,
         vma=vma,
+        emit_topk=max_peaks if kernel_topk else 0,
     )
-    if safe.enabled():
+    if kernel_topk:
+        # selection finished in-kernel: unpack 8·f + off (exact f32)
+        top_vals = score
+        packed = seg_arg.astype(jnp.int32)
+        top_f = packed // detect_kernel.SEGMENT
+        off = packed - top_f * detect_kernel.SEGMENT
+    elif safe.enabled():
         top_vals, top_f = safe.top_k(score, max_peaks)
-        off = safe.take_many_last(seg_arg, top_f)
+        off = safe.take_many_last(seg_arg, top_f).astype(jnp.int32)
     else:
         top_vals, top_f = jax.lax.top_k(score, max_peaks)
-        off = jnp.take_along_axis(seg_arg, top_f, axis=-1)
+        off = jnp.take_along_axis(seg_arg, top_f, axis=-1).astype(jnp.int32)
     # segment f = b2·n1 + k1 covers natural bins (8·b2 + off) + n2·k1
     b2 = top_f // n1
     k1 = top_f - b2 * n1
-    top_idx = detect_kernel.SEGMENT * b2 + off.astype(jnp.int32) + n2 * k1
+    top_idx = detect_kernel.SEGMENT * b2 + off + n2 * k1
     valid = jnp.isfinite(top_vals)
     # dB only for the K winners (same float ops as ct_power_db + offset
     # on the same linear values ⇒ identical results)

@@ -109,8 +109,15 @@ def _detect_kernel(
     conf_cs: Optional[float],
     power_offset_db: float,
     bisect_iters: int,
+    emit_topk: int = 0,
 ):
-    """One grid cell detects on `rows` CT-order spectra of length n1·n2."""
+    """One grid cell detects on `rows` CT-order spectra of length n1·n2.
+
+    ``emit_topk=K > 0`` finishes the selection IN-KERNEL: K unrolled
+    masked-argmax passes over the VMEM-resident segment partials, so the
+    outputs are already the final top-K (vals/flat-segment/offset packed
+    into the first K lanes of [rows, 128] blocks) and the XLA stage-2
+    top-k over the F/8 partials disappears from HBM entirely."""
     n = n1 * n2
     n2g = n2 // SEGMENT
 
@@ -170,8 +177,37 @@ def _detect_kernel(
     seg_arg = jnp.min(
         jnp.where(s3 >= seg_max, off, SEGMENT), axis=1
     )  # [rows·n2g, n1] lowest in-segment offset holding the max
-    score_ref[:] = seg_max.reshape(rows, n2g * n1)
-    arg_ref[:] = seg_arg.reshape(rows, n2g * n1).astype(jnp.float32)
+    seg_score = seg_max.reshape(rows, n2g * n1)
+    seg_arg_f = seg_arg.reshape(rows, n2g * n1).astype(jnp.float32)
+    if not emit_topk:
+        score_ref[:] = seg_score
+        arg_ref[:] = seg_arg_f
+        return
+
+    # ---- in-kernel top-K over the VMEM-resident partials (same masked
+    # argmax + lowest-index tie-break as safe.top_k)
+    s = n2g * n1
+    iota_s = jax.lax.broadcasted_iota(jnp.int32, (rows, s), 1)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (rows, 128), 1)
+    vals = jnp.zeros((rows, 128), jnp.float32)
+    idxs = jnp.zeros((rows, 128), jnp.float32)
+    work = seg_score
+    for k in range(emit_topk):
+        m = jnp.max(work, axis=-1, keepdims=True)  # [rows, 1]
+        sel = jnp.min(
+            jnp.where(work >= m, iota_s, s), axis=-1, keepdims=True
+        )  # lowest index holding the max (all −inf ⇒ 0, matching top_k)
+        hit = iota_s == sel
+        o = jnp.sum(jnp.where(hit, seg_arg_f, 0.0), axis=-1, keepdims=True)
+        vals = jnp.where(lane == k, m, vals)
+        # pack flat-segment index and in-segment offset as one f32:
+        # combined = 8·(b2·n1 + k1) + off < 2^21 — exact in f32
+        idxs = jnp.where(
+            lane == k, 8.0 * sel.astype(jnp.float32) + o, idxs
+        )
+        work = jnp.where(hit, -jnp.inf, work)
+    score_ref[:] = vals
+    arg_ref[:] = idxs
 
 
 def notch_keep_range(
@@ -209,6 +245,7 @@ def detect_ct_partials(
     bisect_iters: int = 24,
     interpret: Optional[bool] = None,
     vma=None,
+    emit_topk: int = 0,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Per-segment detection partials from CT-order spectra.
 
@@ -216,11 +253,14 @@ def detect_ct_partials(
       spec_re/spec_im: ``[..., nfft]`` CT-order spectra
         (:func:`fft_kernel.fft_rows_ct` output).
     Returns:
-      ``(seg_score, seg_arg, noise_floor_db)`` of shapes
-      ``[..., nfft/8]``, ``[..., nfft/8]`` (float offsets 0-7), ``[...]``.
-      ``seg_score`` is LINEAR power (monotonic in dB), −inf where the
-      segment holds no candidate; segment f = b2·n1 + k1 covers natural
-      bins (8·b2 + off) + n2·k1.
+      With ``emit_topk=0``: ``(seg_score, seg_arg, noise_floor_db)`` of
+      shapes ``[..., nfft/8]``, ``[..., nfft/8]`` (float offsets 0-7),
+      ``[...]``. ``seg_score`` is LINEAR power (monotonic in dB), −inf
+      where the segment holds no candidate; segment f = b2·n1 + k1
+      covers natural bins (8·b2 + off) + n2·k1.
+      With ``emit_topk=K``: ``(top_vals, top_packed, noise_floor_db)``
+      of shapes ``[..., K]`` — the selection already finished in-kernel;
+      ``top_packed = 8·f + off`` as float (exact below 2²⁴).
     """
     nfft = spec_re.shape[-1]
     n1, n2 = fft_kernel.ct_split(nfft)
@@ -231,12 +271,15 @@ def detect_ct_partials(
             f"min_distance_bins {min_distance_bins} < {SEGMENT - 1} breaks "
             "segment exactness"
         )
+    if emit_topk and not 0 < emit_topk <= 128:
+        raise ValueError("emit_topk must be in 1..128 (one lane block)")
     if confidence_floor > 1.0:
         # clip(snr/S) ≤ 1 < floor: nothing can pass — emit empty partials.
         shape = spec_re.shape[:-1]
+        k = emit_topk if emit_topk else nfft // SEGMENT
         return (
-            jnp.full((*shape, nfft // SEGMENT), -jnp.inf, jnp.float32),
-            jnp.zeros((*shape, nfft // SEGMENT), jnp.float32),
+            jnp.full((*shape, k), -jnp.inf, jnp.float32),
+            jnp.zeros((*shape, k), jnp.float32),
             jnp.zeros(shape, jnp.float32),
         )
     conf_cs = (
@@ -259,12 +302,13 @@ def detect_ct_partials(
         im2 = jnp.pad(im2, pad)
 
     n2g = n2 // SEGMENT
+    out_cols = 128 if emit_topk else n2g * n1
     grid = (padded // rows_per_block,)
     in_spec = pl.BlockSpec(
         (rows_per_block, nfft), lambda i: (i, 0), memory_space=pltpu.VMEM
     )
     seg_spec = pl.BlockSpec(
-        (rows_per_block, n2g * n1), lambda i: (i, 0), memory_space=pltpu.VMEM
+        (rows_per_block, out_cols), lambda i: (i, 0), memory_space=pltpu.VMEM
     )
     nf_spec = pl.BlockSpec(
         (rows_per_block, 128), lambda i: (i, 0), memory_space=pltpu.VMEM
@@ -275,7 +319,7 @@ def detect_ct_partials(
         radius=min_distance_bins,
         thr_lin=thr_lin, keep_lo=keep_lo, keep_hi=keep_hi,
         conf_cs=conf_cs, power_offset_db=power_offset_db,
-        bisect_iters=bisect_iters,
+        bisect_iters=bisect_iters, emit_topk=emit_topk,
     )
     score, arg, nf = pl.pallas_call(
         kernel,
@@ -283,13 +327,14 @@ def detect_ct_partials(
         in_specs=[in_spec, in_spec],
         out_specs=[seg_spec, seg_spec, nf_spec],
         out_shape=[
-            fft_kernel._sds((padded, n2g * n1), jnp.float32, vma),
-            fft_kernel._sds((padded, n2g * n1), jnp.float32, vma),
+            fft_kernel._sds((padded, out_cols), jnp.float32, vma),
+            fft_kernel._sds((padded, out_cols), jnp.float32, vma),
             fft_kernel._sds((padded, 128), jnp.float32, vma),
         ],
         interpret=interpret,
     )(re2, im2)
-    score = score[:batch].reshape(*batch_shape, n2g * n1)
-    arg = arg[:batch].reshape(*batch_shape, n2g * n1)
+    keep = emit_topk if emit_topk else out_cols
+    score = score[:batch, :keep].reshape(*batch_shape, keep)
+    arg = arg[:batch, :keep].reshape(*batch_shape, keep)
     nf = nf[:batch, 0].reshape(batch_shape)
     return score, arg, nf

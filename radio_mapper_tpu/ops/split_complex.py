@@ -328,7 +328,10 @@ def gcc_phat_all_pairs_split_fused(
     fr, fi, nfft = (
         spectra
         if spectra is not None
-        else receiver_spectra_ct(sig_re, sig_im, max_lag=max_lag)
+        else receiver_spectra_ct(
+            sig_re, sig_im, max_lag=max_lag,
+            precision=gcc_forward_precision(weighting),
+        )
     )
     if nfft < n + max_lag or fr.shape[-1] != nfft:
         raise ValueError(

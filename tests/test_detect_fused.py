@@ -205,3 +205,39 @@ def test_pipeline_routing_equivalence():
         np.asarray(out_fused.pair_weights),
         rtol=0, atol=1e-5,
     )
+
+
+def test_kernel_topk_matches_twostage():
+    """In-kernel top-K (emit_topk) vs the two-stage partials+XLA path:
+    identical peaks, offsets, noise floor."""
+    tones = [(100, 4.0), (180, 3.0), (777, 2.0), (NFFT - 64, 1.2)]
+    fr, fi = _ct_spectra((3,), seed=9, tones=tones)
+    kw = dict(sample_rate_hz=2.4e6, max_peaks=6, threshold_db=-15.0)
+    safe.set_safe_mode(True)
+    try:
+        a = detect_ops.detect_peaks_ct(fr, fi, kernel_topk=True, **kw)
+        b = detect_ops.detect_peaks_ct(fr, fi, kernel_topk=False, **kw)
+    finally:
+        safe.set_safe_mode(None)
+    np.testing.assert_array_equal(np.asarray(a.valid), np.asarray(b.valid))
+    v = np.asarray(a.valid)
+    np.testing.assert_array_equal(
+        np.asarray(a.bin_index)[v], np.asarray(b.bin_index)[v]
+    )
+    np.testing.assert_array_equal(
+        np.asarray(a.power_db)[v], np.asarray(b.power_db)[v]
+    )
+    np.testing.assert_array_equal(
+        np.asarray(a.noise_floor_db), np.asarray(b.noise_floor_db)
+    )
+
+
+def test_kernel_topk_against_reference_path():
+    """The default (in-kernel top-K) routing still matches the r3 XLA
+    detect stage end to end."""
+    tones = [(300, 3.0), (500, 2.5)]
+    fr, fi = _ct_spectra((2,), seed=10, tones=tones)
+    kw = dict(sample_rate_hz=2.4e6, max_peaks=8, threshold_db=-18.0)
+    ref = _reference_peaks(fr, fi, **kw)
+    got = _fused_peaks(fr, fi, **kw)  # kernel_topk defaults True
+    _assert_peaks_equal(ref, got)
