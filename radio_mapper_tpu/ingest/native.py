@@ -154,7 +154,10 @@ class NativeIngest:
         (~3 GB/s measured) falls ~4× short of the 256-channel aggregate
         byte rate. Returns ``(bytes_read, block_ts_ns)``.
         """
-        assert out.dtype == np.uint8 and out.flags["C_CONTIGUOUS"]
+        # explicit raise (not assert): python -O would strip an assert and
+        # a bad buffer would become a native out-of-bounds memcpy
+        if out.dtype != np.uint8 or not out.flags["C_CONTIGUOUS"]:
+            raise ValueError("read_into needs a C-contiguous uint8 buffer")
         ts = ctypes.c_int64(0)
         ptr = out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8))
         if threads > 1:

@@ -73,6 +73,7 @@ class IngestLoop:
         device_put: Optional[Callable] = None,
         blocks_per_dispatch: int = 1,
         drain_threads: int = 0,
+        reuse_slots: bool = False,
     ):
         """``blocks_per_dispatch > 1`` stacks k consecutive blocks as a
         leading batch axis per step call — the pipeline is batch-generic,
@@ -94,14 +95,20 @@ class IngestLoop:
         self.block_bytes = (
             self.blocks_per_dispatch * channels * num_buoys * 2 * block_len
         )
-        # Zero-allocation hot path: two pre-allocated destinations
-        # alternate (double buffering — slot k may still be in flight in
-        # the async device_put while slot k+1 fills), drained from the
-        # ring by the C++ parallel-memcpy leg when drain_threads > 1.
+        # The ring drain fills either a FRESH buffer per read (default —
+        # np.empty is microseconds and, crucially, safe: `jax.device_put`
+        # is ZERO-COPY on the CPU backend and asynchronous everywhere, so
+        # a reused buffer can be overwritten while a still-pending step
+        # reads it) or, with ``reuse_slots=True``, two pre-allocated
+        # destinations in rotation — an opt-in for pinned-memory setups
+        # where the caller synchronizes transfer completion itself.
+        # ``drain_threads > 1`` runs the ring→buffer memcpy as the C++
+        # parallel drain (`ring_buffer.hpp read_ranges`).
         self.drain_threads = int(drain_threads)
-        self._slots = [
-            np.empty(self.block_bytes, np.uint8) for _ in range(2)
-        ]
+        self._slots = (
+            [np.empty(self.block_bytes, np.uint8) for _ in range(2)]
+            if reuse_slots else None
+        )
         self._slot_idx = 0
 
     def warm_compile(self, seed: int = 0):
@@ -123,8 +130,11 @@ class IngestLoop:
         return base
 
     def _read_block(self, timeout_ms: int = 10_000) -> np.ndarray:
-        buf = self._slots[self._slot_idx]
-        self._slot_idx ^= 1
+        if self._slots is not None:
+            buf = self._slots[self._slot_idx]
+            self._slot_idx ^= 1
+        else:
+            buf = np.empty(self.block_bytes, np.uint8)
         if hasattr(self.ingest, "read_into"):
             got, _ts = self.ingest.read_into(
                 buf, timeout_ms, threads=self.drain_threads

@@ -63,8 +63,14 @@ def supported(nfft: int, *, min_distance_bins: int, noise_floor_stride: int) -> 
 
     Needs a CT factorization with n2 ≡ 0 (mod 8) (tile-aligned planner
     lengths — multiples of 1024 — always qualify), the stride-8
-    noise-floor subsample the kernel hardcodes, and segment exactness
-    (candidates ≥ SEGMENT apart ⇔ min_distance + 1 ≥ SEGMENT).
+    noise-floor subsample the kernel hardcodes, segment exactness
+    (candidates ≥ SEGMENT apart ⇔ min_distance + 1 ≥ SEGMENT), and a
+    column tall enough for the roll-borrow construction: every sliding
+    shift borrows from exactly ONE adjacent column, so each shift must
+    be ≤ n2 — the doubling steps max out at the largest power of two
+    ≤ window/2 ≤ radius, and the recenter shift is exactly radius, so
+    the bound is radius ≤ n2. Small nfft (1024 ⇒ n2 = 8 < 10) routes
+    back to the XLA stage.
     """
     if noise_floor_stride != SEGMENT or min_distance_bins + 1 < SEGMENT:
         return False
@@ -72,7 +78,7 @@ def supported(nfft: int, *, min_distance_bins: int, noise_floor_stride: int) -> 
         _n1, n2 = fft_kernel.ct_split(nfft)
     except ValueError:
         return False
-    return n2 % SEGMENT == 0
+    return n2 % SEGMENT == 0 and n2 >= min_distance_bins
 
 
 def _shift_down(x, s: int, n2: int):
@@ -273,22 +279,28 @@ def detect_ct_partials(
         )
     if emit_topk and not 0 < emit_topk <= 128:
         raise ValueError("emit_topk must be in 1..128 (one lane block)")
-    if confidence_floor > 1.0:
-        # clip(snr/S) ≤ 1 < floor: nothing can pass — emit empty partials.
-        shape = spec_re.shape[:-1]
-        k = emit_topk if emit_topk else nfft // SEGMENT
-        return (
-            jnp.full((*shape, k), -jnp.inf, jnp.float32),
-            jnp.zeros((*shape, k), jnp.float32),
-            jnp.zeros(shape, jnp.float32),
+    if n2 < min_distance_bins:
+        raise ValueError(
+            f"nfft {nfft}: column height n2={n2} < radius "
+            f"{min_distance_bins} breaks the one-column roll-borrow "
+            f"construction — use the XLA detect stage"
         )
-    conf_cs = (
-        confidence_floor * snr_fullscale_db if confidence_floor > 0.0 else None
-    )
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
 
     thr_lin = float(10.0 ** ((threshold_db - power_offset_db) / 10.0))
+    if confidence_floor > 1.0:
+        # clip(snr/S) ≤ 1 < floor: nothing can ever pass. Keep the
+        # detect_peaks contract (the noise floor is still computed and
+        # reported) by running the kernel with an impossible threshold
+        # instead of short-circuiting: partials come back all −inf, nf
+        # is the real bisected median.
+        thr_lin = float("inf")
+        conf_cs = None
+    else:
+        conf_cs = (
+            confidence_floor * snr_fullscale_db if confidence_floor > 0.0 else None
+        )
     keep_lo, keep_hi = notch_keep_range(nfft, sample_rate_hz, dc_notch_hz)
 
     batch_shape = spec_re.shape[:-1]

@@ -243,6 +243,17 @@ def gcc_fused_enabled(min_len: int, weighting: str) -> bool:
     return _GCC_FUSED == "on" or jax.default_backend() == "tpu"
 
 
+# A/B override for the PHAT forward precision (None = auto policy below).
+_GCC_FWD_PRECISION: Optional[str] = None
+
+
+def set_gcc_forward_precision(name: Optional[str]) -> None:
+    """Force the GCC-chain forward precision ('high'/'default'/'highest')
+    or None to restore the per-weighting policy. TRACE-time knob."""
+    global _GCC_FWD_PRECISION
+    _GCC_FWD_PRECISION = name
+
+
 def gcc_forward_precision(weighting: str) -> Optional[str]:
     """Forward-transform precision for a GCC chain.
 
@@ -254,6 +265,8 @@ def gcc_forward_precision(weighting: str) -> Optional[str]:
     keeps the module default (HIGH → bf16x3): the unwhitened correlation
     carries the signal's real dynamic range.
     """
+    if _GCC_FWD_PRECISION is not None:
+        return _GCC_FWD_PRECISION
     return "default" if weighting == "phat" else None
 
 

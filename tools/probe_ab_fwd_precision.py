@@ -63,25 +63,38 @@ def main():
     imK = jax.device_put(np.broadcast_to(im, (K, *im.shape)).copy())
     anc = jax.device_put(anchors)
 
+    from radio_mapper_tpu.ops import split_complex as sc_ops
+
     progs = []
     for name, prec in (("A fwd-bf16x3", "high"), ("B fwd-bf16", "default")):
-        fft_ops.set_precision(prec)
+        sc_ops.set_gcc_forward_precision(prec)
         fn = jax.jit(lambda r, i, a, _n=name: pipe.step_split_scan(r, i, a))
         t0 = time.perf_counter()
         out = fn(reK, imK, anc)
         force_fetch(out)
         log(f"{name} compile+first {time.perf_counter()-t0:.1f}s")
-        progs.append((name, fn, np.asarray(out.correlation.lag_samples)))
-    fft_ops.set_precision("high")
+        peaks = jax.tree_util.tree_map(np.asarray, out.peaks)
+        progs.append((name, fn, np.asarray(out.correlation.lag_samples), peaks))
+    sc_ops.set_gcc_forward_precision(None)
 
     lagA, lagB = progs[0][2], progs[1][2]
     dmax = np.abs(lagA - lagB).max()
     log(f"tau parity: max |lag_A - lag_B| = {dmax:.2e} samples "
         f"(lag range ±{np.abs(lagA).max():.0f})")
+    # detection parity: the detect stage consumes the SAME forward
+    # spectra, so quantify what bf16 does to its outputs too
+    pa, pb = progs[0][3], progs[1][3]
+    va, vb = np.asarray(pa.valid), np.asarray(pb.valid)
+    log(f"detect parity: valid sets equal={np.array_equal(va, vb)}, "
+        f"bins equal={np.array_equal(np.asarray(pa.bin_index)[va], np.asarray(pb.bin_index)[vb]) if np.array_equal(va, vb) else 'n/a'}")
+    both = va & vb
+    log(f"detect power delta: max |Δpower_db|="
+        f"{np.abs(np.asarray(pa.power_db)[both]-np.asarray(pb.power_db)[both]).max():.4f} dB, "
+        f"max |Δnf|={np.abs(np.asarray(pa.noise_floor_db)-np.asarray(pb.noise_floor_db)).max():.4f} dB")
 
-    times = {name: [] for name, _f, _l in progs}
+    times = {name: [] for name, *_ in progs}
     for e in range(EPOCHS):
-        for name, fn, _l in progs:
+        for name, fn, *_ in progs:
             t0 = time.perf_counter()
             outs = [fn(reK, imK, anc) for _ in range(ITERS)]
             force_fetch(outs)
