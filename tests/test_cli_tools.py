@@ -163,3 +163,23 @@ def test_webapp_dev_mock_fallback():
             await app.stop()
 
     asyncio.run(run())
+
+
+def test_cli_wideband_demo(capsys):
+    """Config-4 CLI demo: active subchannel wins the weights and the fix
+    lands within a few subchannel samples."""
+    from radio_mapper_tpu.cli import main
+
+    main([
+        "--backend", "cpu", "wideband", "--buoys", "6",
+        "--rate", "2048000", "--subchannels", "4", "--sub-block", "512",
+        "--max-lag", "48", "--active-sub", "2",
+    ])
+    out = capsys.readouterr().out
+    assert "<- active" in out
+    assert "error" in out
+    import re as _re
+
+    err = float(_re.search(r"error ([\d.]+) m", out).group(1))
+    # subchannel sample at 512 kS/s = 585 m
+    assert err < 600.0, out
