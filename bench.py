@@ -500,9 +500,10 @@ def main():
     # discarded as tunnel stalls, VERDICT r3 item 5). Channel ladder
     # starts at 64: the floor is already amortized by the scan, and every
     # config costs a multi-minute remote compile.
-    # K=8 A/B'd against K=4 and single-block on-chip (probe_ab_tuning_r4:
-    # 7.60 vs 8.56 vs ~13 ms/block at 128 ch; floor share ~2.8%).
-    scan_k = int(os.environ.get("BENCH_SCAN_BLOCKS", "8"))
+    # Scan depth ladder A/B'd on-chip: single-block ~13 → K=4 8.56 →
+    # K=8 6.98 → K=16 6.51 ms/block at 128 ch (probe_ab_tuning_r4,
+    # probe_ab_depth_rows). K=16 input stacks stay ≲4.3 GB at 256 ch.
+    scan_k = int(os.environ.get("BENCH_SCAN_BLOCKS", "16"))
     best = {"rate": 0.0}
     for ch in (64, 128, 256):
         try:
