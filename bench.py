@@ -188,15 +188,21 @@ def build_pipeline_step(
     if scan_blocks > 1:
         if path == "complex":
             raise ValueError("scan_blocks supports the split path only")
-        rng = np.random.default_rng(1)
-        mk = lambda: rng.normal(
-            size=(scan_blocks, *re.shape)
-        ).astype(np.float32)
+        # Ship ONE block over the (40 MB/s tunnel) link and materialize
+        # the K-block stack ON-DEVICE: at 256 ch × K=16 the stack is
+        # ~4.3 GB — hours of tunnel vs seconds for a single block. The
+        # duplicated blocks don't change the (data-independent) timing.
+        import jax.numpy as jnp
+
+        re1, im1 = jax.device_put((re, im))
+        tile = jax.jit(
+            lambda a: jnp.broadcast_to(a, (scan_blocks, *a.shape)) * 1.0
+        )
         name = f"split-scan{scan_blocks}"
         return (
             name,
             pipe.jit_step_split_scan(),
-            tuple(jax.device_put((mk(), mk(), anchors))),
+            (tile(re1), tile(im1), jax.device_put(anchors)),
             _analytic_step_flops(num_channels, num_buoys, block_len, max_lag),
         )
 
