@@ -450,7 +450,10 @@ def run_ingest_loopback_bench(
     )
     loop.warm_compile()
     block_bytes = channels * num_buoys * 2 * block_len
-    ring = 1 << max(24, (block_bytes * 8).bit_length())
+    # 32 blocks (~220 ms at the 32-ch rate) of ring: an 8-block ring
+    # dropped on transient scheduler stalls (~80 MB once in 3 runs);
+    # real-time-ness is judged by sustained drain, buffered slack is free
+    ring = 1 << max(24, (block_bytes * 32).bit_length())
     ing = NativeIngest.open_synthetic_paced(
         seed=2, bytes_per_s=2.0 * rate_samples, ring_bytes=ring,
         chunk_bytes=1 << 18,
