@@ -58,13 +58,25 @@ def main(num_channels=128, num_buoys=8, block_len=16_384, max_lag=512,
     print(f"# fused routing: {fused}", flush=True)
 
     def fwd_ct(re, im):
-        return sc_ops.receiver_spectra_ct(re, im, max_lag=c.max_lag)[:2]
+        return sc_ops.receiver_spectra_ct(
+            re, im, max_lag=c.max_lag,
+            precision=sc_ops.gcc_forward_precision(c.weighting),
+        )[:2]
 
     def detect_from_ct(fr, fi):
+        # the r3 XLA formulation, kept as the comparison row
         power_db = sc_ops.ct_power_db(fr, fi) + c.power_offset_db
         return detect_ops.detect_peaks(
             power_db, sample_rate_hz=c.sample_rate_hz, max_peaks=c.max_peaks,
             noise_floor_stride=c.noise_floor_stride,
+        )
+
+    def detect_fused_ct(fr, fi):
+        # the r4 default: fused Pallas detect kernel
+        return detect_ops.detect_peaks_ct(
+            fr, fi, sample_rate_hz=c.sample_rate_hz, max_peaks=c.max_peaks,
+            threshold_db=c.detection_threshold_db,
+            power_offset_db=c.power_offset_db,
         )
 
     def pair_from_ct(re, im, fr, fi):
@@ -97,8 +109,14 @@ def main(num_channels=128, num_buoys=8, block_len=16_384, max_lag=512,
     t0 = time.time()
     det_fn = jax.jit(detect_from_ct)
     force(det_fn(fr, fi))
-    stages["detect_from_ct"] = (det_fn, (fr, fi))
-    print(f"# detect compile {time.time()-t0:.1f}s", flush=True)
+    stages["detect_xla"] = (det_fn, (fr, fi))
+    print(f"# detect-xla compile {time.time()-t0:.1f}s", flush=True)
+
+    t0 = time.time()
+    detf_fn = jax.jit(detect_fused_ct)
+    force(detf_fn(fr, fi))
+    stages["detect_fused"] = (detf_fn, (fr, fi))
+    print(f"# detect-fused compile {time.time()-t0:.1f}s", flush=True)
 
     t0 = time.time()
     pair_fn = jax.jit(pair_from_ct)
@@ -128,14 +146,28 @@ def main(num_channels=128, num_buoys=8, block_len=16_384, max_lag=512,
     stages["FULL_step"] = (full_fn, (re, im, anchors))
     print(f"# full compile {time.time()-t0:.1f}s", flush=True)
 
+    # scan-16 production program; per-block time = epoch/16
+    import jax.numpy as jnp
+
+    K = 16
+    tile = jax.jit(lambda a: jnp.broadcast_to(a, (K, *a.shape)) * 1.0)
+    reK, imK = tile(re), tile(im)
+    t0 = time.time()
+    scan_fn = pipe.jit_step_split_scan()
+    force(scan_fn(reK, imK, anchors))
+    stages[f"FULL_scan{K}"] = (scan_fn, (reK, imK, anchors), K)
+    print(f"# scan{K} compile {time.time()-t0:.1f}s", flush=True)
+
     # --- round-robin fetch-closed timing --------------------------------
     times = {k: [] for k in stages}
     for _ in range(rounds):
-        for name, (fn, args) in stages.items():
+        for name, entry in stages.items():
+            fn, args = entry[0], entry[1]
+            blocks = entry[2] if len(entry) > 2 else 1
             t0 = time.perf_counter()
             outs = [fn(*args) for _ in range(iters)]
             force(outs[-1])  # chained dispatches serialize on-device
-            times[name].append((time.perf_counter() - t0) / iters)
+            times[name].append((time.perf_counter() - t0) / iters / blocks)
 
     result = {}
     for name, ts in times.items():
