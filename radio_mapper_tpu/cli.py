@@ -188,34 +188,21 @@ def cmd_wideband(args):
         max_lag=args.max_lag,
     )
     pipe = WidebandTDOAPipeline(cfg)
-    rng = np.random.default_rng(args.seed)
-    b, n, fs = cfg.num_buoys, cfg.wide_block, cfg.wide_rate_hz
+    b, fs = cfg.num_buoys, cfg.wide_rate_hz
     ang = 2 * np.pi * np.arange(b) / b
     anchors = np.stack(
         [12_000 * np.cos(ang), 12_000 * np.sin(ang), np.zeros(b)], -1
     ).astype(np.float32)
     emitter = np.array([2_000.0, -3_000.0, 0.0])
     sub = args.active_sub % cfg.num_subchannels
-    f0 = np.fft.fftfreq(cfg.num_subchannels, d=1.0 / fs)[sub]
-    base = rng.normal(size=2 * n).view(np.complex128)[:n]
-    spec = np.fft.fft(base)
-    f = np.fft.fftfreq(n, 1.0 / fs)
-    spec[np.abs(f) > 0.25 * cfg.sub_rate_hz] = 0.0
-    sig = np.fft.ifft(spec)
-    sig *= np.exp(2j * np.pi * f0 * np.arange(n) / fs)
-    sig /= np.std(sig)
-    amp = 10 ** (args.snr / 20.0)
-    sfft = np.fft.fft(sig)
-    iq = np.empty((b, n), np.complex128)
-    for k in range(b):
-        d = np.linalg.norm(emitter - anchors[k])
-        iq[k] = amp * np.fft.ifft(sfft * np.exp(-2j * np.pi * f * d / C))
-    iq += (rng.normal(size=(b, n)) + 1j * rng.normal(size=(b, n))) / np.sqrt(2)
+    from radio_mapper_tpu import sim
 
+    re, im = sim.synthesize_wideband(
+        cfg, active_subchannel=sub, anchors_enu=anchors,
+        emitter_enu=emitter, snr_db=args.snr, seed=args.seed,
+    )
     out = pipe.jit_step_split()(
-        jnp.asarray(iq.real.astype(np.float32)),
-        jnp.asarray(iq.imag.astype(np.float32)),
-        jnp.asarray(anchors),
+        jnp.asarray(re), jnp.asarray(im), jnp.asarray(anchors)
     )
     w = np.asarray(out.weights).mean(axis=-1)
     fixes = np.asarray(out.fixes_enu)

@@ -102,7 +102,6 @@ class WidebandTDOAPipeline:
         """One subchannel: [B, n_sub] split spectra → [P, 2L+1] |r|."""
         c = self.config
         L = c.max_lag
-        b = c.num_buoys
         if self._use_fused:
             fr, fi, nfft = sc_ops.receiver_spectra_ct(
                 cre, cim, max_lag=L,
@@ -113,14 +112,15 @@ class WidebandTDOAPipeline:
             pad = [(0, 0), (0, nfft - c.sub_block)]
             fr, fi = fft_ops.fft_re_im(jnp.pad(cre, pad), jnp.pad(cim, pad))
         # One-hot matmul pair gather (X row k pairs Y row k) — the proven
-        # fast gather on this runtime (ops/safe.pair_select rationale).
-        hot = lambda idx: (
-            jnp.asarray(idx)[:, None] == jnp.arange(b)[None, :]
-        ).astype(jnp.float32)
-        hi, hj = hot(self.pair_i), hot(self.pair_j)
-        take = lambda h, a: jnp.dot(h, a, preferred_element_type=jnp.float32)
-        xfr, xfi = take(hi, fr), take(hi, fi)
-        yfr, yfi = take(hj, fr), take(hj, fi)
+        # fast gather on this runtime; safe.pair_select contracts at
+        # HIGHEST so gathered f32 spectra pass through EXACTLY (a
+        # default-precision dot would round them through bf16 on TPU).
+        from radio_mapper_tpu.ops import safe
+
+        xfr = safe.pair_select(fr, self.pair_i, axis=-2)
+        xfi = safe.pair_select(fi, self.pair_i, axis=-2)
+        yfr = safe.pair_select(fr, self.pair_j, axis=-2)
+        yfi = safe.pair_select(fi, self.pair_j, axis=-2)
         if self._use_fused:
             from radio_mapper_tpu.ops.pallas import gcc_kernel
 

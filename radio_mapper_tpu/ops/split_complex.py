@@ -230,6 +230,12 @@ def set_gcc_fused(mode: str) -> None:
     _GCC_FUSED = mode
 
 
+def gcc_fused_mode() -> str:
+    """Current routing mode ("auto"/"on"/"off") — for callers that need
+    to distinguish an explicit force-on from the auto policy."""
+    return _GCC_FUSED
+
+
 def gcc_fused_enabled(min_len: int, weighting: str) -> bool:
     """Route the GCC pair stage to the fused Pallas kernel?"""
     if _GCC_FUSED == "off":

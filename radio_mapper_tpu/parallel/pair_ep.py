@@ -122,7 +122,7 @@ def build_pair_ep_step(mesh: Mesh, config: PairEPConfig, *, axis: str = "pair"):
     # dryrun under the axon sitecustomize). A compiled Pallas call cannot
     # lower for CPU, so require the mesh itself to be TPU unless the
     # routing is explicitly forced on (interpret-mode tests).
-    if sc_ops._GCC_FUSED != "on" and mesh.devices.flat[0].platform != "tpu":
+    if sc_ops.gcc_fused_mode() != "on" and mesh.devices.flat[0].platform != "tpu":
         use_fused = False
 
     def local_step(re_l, im_l, anchors, pi_l, pj_l, valid_l):
@@ -141,14 +141,16 @@ def build_pair_ep_step(mesh: Mesh, config: PairEPConfig, *, axis: str = "pair"):
 
         # One-hot matmul gather of this shard's pair spectra: data-indexed
         # gathers are unproven on the target runtime; [P_loc, B]×[B, nfft]
-        # matmuls are its fastest primitive.
-        hot = lambda idx: (
-            idx[:, None] == jnp.arange(cfg.num_buoys)[None, :]
-        ).astype(jnp.float32)
-        hi, hj = hot(pi_l), hot(pj_l)
-        take = lambda h, a: jnp.dot(h, a, preferred_element_type=jnp.float32)
-        xfr, xfi = take(hi, fr), take(hi, fi)
-        yfr, yfi = take(hj, fr), take(hj, fi)
+        # contractions are its fastest primitive. safe.pair_select runs
+        # them at HIGHEST so gathered f32 spectra pass through EXACTLY
+        # (a default-precision dot would round through bf16 on TPU);
+        # B ≪ nfft keeps the 6-pass emulation negligible.
+        from radio_mapper_tpu.ops import safe
+
+        xfr = safe.pair_select(fr, pi_l, axis=-2)
+        xfi = safe.pair_select(fi, pi_l, axis=-2)
+        yfr = safe.pair_select(fr, pj_l, axis=-2)
+        yfi = safe.pair_select(fi, pj_l, axis=-2)
 
         L = cfg.max_lag
         if use_fused:

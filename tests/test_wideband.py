@@ -21,40 +21,19 @@ def _small_cfg(**kw):
 
 
 def _synth_scene(cfg, sub_idx, seed=0, snr_db=25.0):
-    """Emitter radiating band-limited noise inside subchannel ``sub_idx``
-    (unshifted FFT channel order), received by a ring of buoys with exact
-    fractional delays at the WIDE rate."""
-    rng = np.random.default_rng(seed)
-    b, n = cfg.num_buoys, cfg.wide_block
-    fs = cfg.wide_rate_hz
-    # ring of receivers, emitter inside
+    """Emitter radiating band-limited noise inside subchannel ``sub_idx``,
+    received by a ring of buoys (sim.synthesize_wideband)."""
+    b = cfg.num_buoys
     ang = 2 * np.pi * np.arange(b) / b
     anchors = np.stack(
         [9_000 * np.cos(ang), 9_000 * np.sin(ang), np.zeros(b)], axis=-1
     ).astype(np.float32)
     emitter = np.array([1_500.0, -2_200.0, 0.0])
-
-    # band-limited noise at the subchannel center
-    f0 = np.fft.fftfreq(cfg.num_subchannels, d=1.0 / fs)[sub_idx]
-    bw = 0.5 * cfg.sub_rate_hz
-    base = rng.normal(size=2 * n).view(np.complex128)[:n]
-    spec = np.fft.fft(base)
-    f = np.fft.fftfreq(n, 1.0 / fs)
-    spec[np.abs(f) > bw / 2] = 0.0
-    s = np.fft.ifft(spec)
-    s *= np.exp(2j * np.pi * f0 * np.arange(n) / fs)
-    s /= np.std(s)
-
-    amp = 10 ** (snr_db / 20.0)
-    iq = np.empty((b, n), np.complex128)
-    for k in range(b):
-        tau = np.linalg.norm(emitter - anchors[k]) / C
-        iq[k] = amp * sim._apply_delay(s, tau, fs)
-    iq += (rng.normal(size=(b, n)) + 1j * rng.normal(size=(b, n))) / np.sqrt(2)
-    return (
-        iq.real.astype(np.float32), iq.imag.astype(np.float32),
-        anchors, emitter,
+    re, im = sim.synthesize_wideband(
+        cfg, active_subchannel=sub_idx, anchors_enu=anchors,
+        emitter_enu=emitter, snr_db=snr_db, seed=seed,
     )
+    return re, im, anchors, emitter
 
 
 def test_config_shapes():
