@@ -140,6 +140,25 @@ class WidebandTDOAPipeline:
         win = lambda a: jnp.concatenate([a[..., nfft - L:], a[..., : L + 1]], -1)
         return jnp.sqrt(win(ire) ** 2 + win(iim) ** 2)
 
+    def _subchannel_outputs(self, sre, sim, anchors_enu):
+        """One subchannel end-to-end: ``[B, n_sub]`` split IQ → (fix,
+        cost, lags, weights). Shared by the local scan and the sharded
+        builder (the solver runs un-jitted — callers are already traced)."""
+        c = self.config
+        mags = self._pair_stage(sre, sim)
+        pk = gcc_ops.peaks_from_lag_mags(
+            mags, sample_rate_hz=c.sub_rate_hz, max_lag=c.max_lag
+        )
+        weights = jnp.clip(
+            (pk.psr - c.psr_floor) / c.psr_scale, 0.0, 1.0
+        ) + 1e-3
+        dd = solver.tau_to_distance_difference(pk.tau_s)
+        res = solver.solve_tdoa_impl(
+            anchors_enu, self.pair_i, self.pair_j, dd, weights,
+            iterations=c.solver_iterations,
+        )
+        return res.position_enu, res.cost, pk.lag_samples, weights
+
     def step_split(
         self, re: jnp.ndarray, im: jnp.ndarray, anchors_enu: jnp.ndarray
     ) -> WidebandOutput:
@@ -165,22 +184,7 @@ class WidebandTDOAPipeline:
         cim = jnp.moveaxis(cim, -2, 0)
 
         def body(carry, xs):
-            sre, sim = xs
-            mags = self._pair_stage(sre, sim)
-            pk = gcc_ops.peaks_from_lag_mags(
-                mags, sample_rate_hz=c.sub_rate_hz, max_lag=c.max_lag
-            )
-            weights = jnp.clip(
-                (pk.psr - c.psr_floor) / c.psr_scale, 0.0, 1.0
-            ) + 1e-3
-            dd = solver.tau_to_distance_difference(pk.tau_s)
-            # impl (not the jitted wrapper): the scan body is already
-            # traced; a nested jit would just add dispatch layering.
-            res = solver.solve_tdoa_impl(
-                anchors_enu, self.pair_i, self.pair_j, dd, weights,
-                iterations=c.solver_iterations,
-            )
-            return carry, (res.position_enu, res.cost, pk.lag_samples, weights)
+            return carry, self._subchannel_outputs(xs[0], xs[1], anchors_enu)
 
         _, (fixes, cost, lags, weights) = jax.lax.scan(body, 0, (cre, cim))
         return WidebandOutput(
@@ -204,3 +208,68 @@ class WidebandTDOAPipeline:
         anchors = rng.normal(scale=8_000.0, size=(c.num_buoys, 3)).astype(np.float32)
         anchors[:, 2] = 0.0
         return jnp.asarray(re), jnp.asarray(im), jnp.asarray(anchors)
+
+
+def build_wideband_sharded_step(mesh, config: WidebandConfig, *, axis: str = "sub"):
+    """Config-4 across a mesh: SUBCHANNELS shard over ``axis``.
+
+    The single-chip step scans subchannels sequentially to bound memory;
+    on a mesh each device owns M/n subchannels and scans only those — the
+    natural "1 host" decomposition (subchannels are embarrassingly
+    parallel after the shared channelizer; no collectives in the hot
+    loop). The per-buoy PFB channelization runs replicated (its cost is
+    ~2% of one subchannel's pair stage), then the [M, B, n_sub] stack
+    shards by M into a `shard_map` over the local scan.
+
+    Returns ``(jitted_step, in_shardings)`` with
+    ``step(re, im, anchors) -> WidebandOutput`` (outputs sharded by M on
+    their leading axis, fixes replicated per shard slice).
+    """
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    cfg = config.validate()
+    pipe = WidebandTDOAPipeline(cfg)
+    n_shards = mesh.shape[axis]
+    if cfg.num_subchannels % n_shards:
+        raise ValueError(
+            f"num_subchannels {cfg.num_subchannels} must divide over "
+            f"{n_shards} shards"
+        )
+
+    def local_scan(cre_l, cim_l, anchors):
+        # cre_l/cim_l: [M/n, B, n_sub] — this shard's subchannels
+        def body(carry, xs):
+            return carry, pipe._subchannel_outputs(xs[0], xs[1], anchors)
+
+        _, outs = jax.lax.scan(body, 0, (cre_l, cim_l))
+        return outs
+
+    inner = jax.shard_map(
+        local_scan, mesh=mesh,
+        in_specs=(P(axis, None, None), P(axis, None, None), P()),
+        out_specs=(P(axis), P(axis), P(axis), P(axis)),
+        # the fused kernels' interpret-mode grid carries lack vma
+        # annotations (same limitation as pair_ep's fused routing)
+        check_vma=False,
+    )
+
+    def step(re, im, anchors):
+        c = cfg
+        cre, cim = sc_ops.channelize_split(
+            re, im, c.num_subchannels,
+            sample_rate_hz=c.wide_rate_hz,
+            taps_per_channel=c.taps_per_channel,
+            shift=False,
+        )
+        cre = jnp.moveaxis(cre, -2, 0)
+        cim = jnp.moveaxis(cim, -2, 0)
+        fixes, cost, lags, weights = inner(cre, cim, anchors)
+        return WidebandOutput(
+            fixes_enu=fixes, cost=cost, lags=lags, weights=weights,
+            channel_offset_hz=np.fft.fftfreq(
+                c.num_subchannels, d=1.0 / c.wide_rate_hz
+            ),
+        )
+
+    repl = NamedSharding(mesh, P())
+    return jax.jit(step), (repl, repl, repl)

@@ -80,3 +80,46 @@ def test_wideband_flagship_shape_traces():
     jax.eval_shape(pipe.step_split, re, im, anchors)
     assert cfg.num_pairs == 2016
     assert cfg.wide_block == 16 * (4096 + 7)
+
+
+def test_wideband_sharded_over_subchannels():
+    """Config-4 across a mesh: subchannels shard over an 8-device axis;
+    outputs equal the single-device scan."""
+    import jax
+    from jax.sharding import Mesh
+
+    devices = np.array(jax.devices()[:8])
+    if devices.size < 8:
+        pytest.skip("needs the 8-device CPU mesh (conftest)")
+    from radio_mapper_tpu.models.wideband import build_wideband_sharded_step
+
+    cfg = _small_cfg()
+    mesh = Mesh(devices, ("sub",))
+    step, shardings = build_wideband_sharded_step(mesh, cfg)
+    sub = 3
+    re, im, anchors, emitter = _synth_scene(cfg, sub, seed=2)
+    out = step(
+        jax.device_put(re, shardings[0]),
+        jax.device_put(im, shardings[1]),
+        jax.device_put(anchors, shardings[2]),
+    )
+    ref = WidebandTDOAPipeline(cfg).jit_step_split()(
+        jnp.asarray(re), jnp.asarray(im), jnp.asarray(anchors)
+    )
+    # tight equality on the ACTIVE subchannel's fix and every weight;
+    # quiet subchannels solve pure noise (fixes at ~6e5 m) where f32
+    # op-ordering differences between the two programs legitimately move
+    # the meaningless solution by ~1e-3 relative
+    np.testing.assert_allclose(
+        np.asarray(out.fixes_enu)[sub], np.asarray(ref.fixes_enu)[sub],
+        rtol=0, atol=1.0,
+    )
+    np.testing.assert_allclose(
+        np.asarray(out.fixes_enu), np.asarray(ref.fixes_enu),
+        rtol=5e-3, atol=1.0,
+    )
+    np.testing.assert_allclose(
+        np.asarray(out.weights), np.asarray(ref.weights), rtol=0, atol=1e-4
+    )
+    err = np.linalg.norm(np.asarray(out.fixes_enu)[sub, :2] - emitter[:2])
+    assert err < 300.0, err
