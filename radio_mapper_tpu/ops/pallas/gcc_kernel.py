@@ -51,6 +51,27 @@ def set_default_pair_chunk(n: int) -> None:
 
 WEIGHTINGS = ("phat", "cc")
 
+# PHAT eps-gate algebra (TRACE-time knob, same caveats as every routing
+# flag). "l1" (default): R/(|R| + eps·max|R|) — the reference-parity
+# form. "l2": R/sqrt(|R|² + eps²·max|R|²) — identical asymptotics on
+# both sides of the gate (ratio → 1 for |R| ≫ eps·s, → eps·s for
+# |R| ≪ eps·s; worst-case 1.41× deviation AT the knee, which only the
+# suppressed bins see), but the whole whiten collapses to one reduction
+# + ONE rsqrt — no |R| materialization, no reciprocal. Probed on-chip
+# r4: τ parity 7.6e-4 samples on correlated scenes, step 6.26 → 5.95
+# ms/block at 128 ch × scan-16 (docs/probe_logs/ab_gate_r4.log) — the
+# default since the gate is this framework's own stabilizer (the
+# reference never correlates waveforms at all; PHAT semantics proper are
+# unchanged away from the eps knee).
+_PHAT_GATE = "l2"
+
+
+def set_phat_gate(mode: str) -> None:
+    if mode not in ("l1", "l2"):
+        raise ValueError(f"unknown phat gate {mode!r}")
+    global _PHAT_GATE
+    _PHAT_GATE = mode
+
 
 def supported(nfft: int, weighting: str = "phat") -> bool:
     """Whether the fused pair stage can run for this length/weighting."""
@@ -69,6 +90,26 @@ def plan_nfft(min_len: int) -> int:
     while not fft_kernel.ct_supported(n):  # pragma: no cover — n2 > 1024
         n += 1024
     return n
+
+
+
+def _whiten(rre, rim, eps):
+    """PHAT whitening under the module gate algebra (see _PHAT_GATE).
+
+    l1: |R| via x·rsqrt(x) and ONE reciprocal instead of sqrt + two
+    divides (A/B'd on-chip r3: neutral vs sqrt+div). l2: the whole block
+    is one max-reduction + one rsqrt — no |R|, no reciprocal.
+    """
+    p2 = rre * rre + rim * rim
+    if _PHAT_GATE == "l2":
+        s2 = jnp.max(p2, axis=-1, keepdims=True)  # max|R|² per pair
+        inv = jax.lax.rsqrt(p2 + (eps * eps) * s2 + 1e-30)
+    else:
+        inv_mag = jax.lax.rsqrt(p2 + 1e-30)
+        mag = p2 * inv_mag
+        scale = jnp.max(mag, axis=-1, keepdims=True)  # per-pair gate
+        inv = 1.0 / (mag + eps * scale + 1e-30)
+    return rre * inv, rim * inv
 
 
 def _gcc_pairs_kernel(
@@ -118,18 +159,7 @@ def _gcc_pairs_kernel(
     )
 
     if whiten:
-        p2 = rre * rre + rim * rim
-        # |R| via x·rsqrt(x) and ONE reciprocal instead of sqrt + two
-        # divides. A/B'd on-chip: neutral vs sqrt+div within tunnel noise
-        # (the whiten block's ~1.2 ms is dominated by the per-pair max
-        # reduction, not the special functions) — kept as the cheaper
-        # canonical form.
-        inv_mag = jax.lax.rsqrt(p2 + 1e-30)
-        mag = p2 * inv_mag
-        scale = jnp.max(mag, axis=-1, keepdims=True)  # per-pair gate
-        inv = 1.0 / (mag + eps * scale + 1e-30)
-        rre = rre * inv
-        rim = rim * inv
+        rre, rim = _whiten(rre, rim, eps)
 
     _invert_to_lag_windows(
         rre, rim, w1re_ref, w1im_ref, w2negre_ref, w2negim_ref,
@@ -360,18 +390,7 @@ def _gcc_rows_kernel(
     rim = xim * yre - xre * yim
 
     if whiten:
-        p2 = rre * rre + rim * rim
-        # |R| via x·rsqrt(x) and ONE reciprocal instead of sqrt + two
-        # divides. A/B'd on-chip: neutral vs sqrt+div within tunnel noise
-        # (the whiten block's ~1.2 ms is dominated by the per-pair max
-        # reduction, not the special functions) — kept as the cheaper
-        # canonical form.
-        inv_mag = jax.lax.rsqrt(p2 + 1e-30)
-        mag = p2 * inv_mag
-        scale = jnp.max(mag, axis=-1, keepdims=True)  # per-pair gate
-        inv = 1.0 / (mag + eps * scale + 1e-30)
-        rre = rre * inv
-        rim = rim * inv
+        rre, rim = _whiten(rre, rim, eps)
 
     _invert_to_lag_windows(
         rre, rim, w1re_ref, w1im_ref, w2negre_ref, w2negim_ref,

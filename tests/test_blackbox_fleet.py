@@ -68,8 +68,9 @@ def test_three_buoy_fleet_produces_fixes():
                 "--central", f"ws://127.0.0.1:{WS_PORT}", "--dev",
             ))
 
-        # all three register
-        deadline = time.time() + 120.0
+        # all three register (generous: 5 subprocesses JIT-compile
+        # concurrently on a 2-vCPU CI box)
+        deadline = time.time() + 240.0
         while time.time() < deadline:
             _, body = _get(f"http://127.0.0.1:{HTTP_PORT}/api/nodes")
             ids = {n["id"] for n in json.loads(body)}
@@ -79,7 +80,7 @@ def test_three_buoy_fleet_produces_fixes():
         assert {"buoy-1", "buoy-2", "buoy-3"} <= ids, ids
 
         # correlated detections triangulate: /api/signals fills with fixes
-        deadline = time.time() + 180.0
+        deadline = time.time() + 360.0
         signals = []
         while time.time() < deadline:
             _, body = _get(f"http://127.0.0.1:{HTTP_PORT}/api/signals")
