@@ -42,8 +42,17 @@ class IngestLoopStats:
     host_read_ms_per_step: float  # ring memcpy + reshape leg (host)
     transfer_ms_per_step: float  # device_put call overhead (async issue)
     real_time_ratio: float  # sustained rate / source rate (>=1 keeps up)
-    drops: int
+    dropped_bytes: int  # ring-overflow BYTES (2 bytes = one I/Q sample)
     bytes_consumed: int
+
+    @property
+    def dropped_samples(self) -> int:
+        """Ring-overflow complex samples (uint8 I/Q ⇒ 2 bytes/sample)."""
+        return self.dropped_bytes // 2
+
+    @property
+    def drops(self) -> int:  # back-compat alias (pre-r5 name; bytes!)
+        return self.dropped_bytes
 
 
 class IngestLoop:
@@ -211,6 +220,6 @@ class IngestLoop:
                 if self.source_samples_per_s
                 else 0.0
             ),
-            drops=int(stats["bytes_dropped"]),
+            dropped_bytes=int(stats["bytes_dropped"]),
             bytes_consumed=int(stats["bytes_consumed"]),
         )

@@ -185,8 +185,17 @@ def set_fused_detect(mode: str) -> None:
 def fused_detect_enabled(
     nfft: int, *, min_distance_bins: int, noise_floor_stride: int
 ) -> bool:
-    """Route the detect stage to the fused Pallas kernel?"""
+    """Route the detect stage to the fused Pallas kernel?
+
+    The fused kernel hard-codes safe-mode semantics (circular sliding
+    max, equal-peak collapse per segment, bisected median), so with
+    stock (non-safe) mode explicitly selected it would be a silent
+    semantic switch — "auto" therefore requires safe mode; only an
+    explicit ``set_fused_detect("on")`` overrides that (ADVICE r4).
+    """
     if _FUSED_DETECT == "off":
+        return False
+    if not safe.enabled() and _FUSED_DETECT != "on":
         return False
     try:
         from radio_mapper_tpu.ops.pallas import detect_kernel

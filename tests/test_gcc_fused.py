@@ -260,6 +260,7 @@ def test_l2_phat_gate_tau_parity():
     re = np.real(cap.iq).astype(np.float32)
     im = np.imag(cap.iq).astype(np.float32)
     sc_ops.set_gcc_fused("on")
+    prior_gate = gcc_kernel._PHAT_GATE  # restore the MODULE DEFAULT (l2)
     try:
         outs = {}
         for gate in ("l1", "l2"):
@@ -268,7 +269,7 @@ def test_l2_phat_gate_tau_parity():
                 re, im, sample_rate_hz=scen.sample_rate_hz, max_lag=600,
             )
     finally:
-        gcc_kernel.set_phat_gate("l1")
+        gcc_kernel.set_phat_gate(prior_gate)
         sc_ops.set_gcc_fused("auto")
     d = np.abs(
         np.asarray(outs["l1"].lag_samples) - np.asarray(outs["l2"].lag_samples)
