@@ -19,7 +19,7 @@ import pytest
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
-def _single_process_reference():
+def _single_process_reference(config5: bool = False):
     import jax
 
     from radio_mapper_tpu.parallel import mesh as mesh_lib
@@ -31,15 +31,24 @@ def _single_process_reference():
     devices = jax.devices()[:8]
     shape = mesh_lib.balanced_mesh_shape(8)
     mesh = mesh_lib.make_mesh(shape, ("ch", "blk"), devices=devices)
-    cfg = ShardedStepConfig(
-        num_channels=max(2, shape[0]), num_buoys=4, num_subchannels=8,
-        taps_per_channel=4, max_lag=12, solver_iterations=8,
-    )
+    if config5:
+        # must mirror tools/multihost_demo.py --config5 exactly
+        cfg = ShardedStepConfig(
+            num_channels=256, num_buoys=8, num_subchannels=16,
+            sample_rate_hz=2_400_000.0, max_lag=32, taps_per_channel=4,
+            solver_iterations=8,
+        )
+    else:
+        cfg = ShardedStepConfig(
+            num_channels=max(2, shape[0]), num_buoys=4, num_subchannels=8,
+            taps_per_channel=4, max_lag=12, solver_iterations=8,
+        )
     step, in_shardings = build_sharded_step_split(mesh, cfg)
     s = mesh.shape["blk"]
+    samples = s * (1024 if config5 else 256)
     rng = np.random.default_rng(0)
-    g_re = rng.normal(size=(cfg.num_channels, cfg.num_buoys, s * 256)).astype(np.float32)
-    g_im = rng.normal(size=(cfg.num_channels, cfg.num_buoys, s * 256)).astype(np.float32)
+    g_re = rng.normal(size=(cfg.num_channels, cfg.num_buoys, samples)).astype(np.float32)
+    g_im = rng.normal(size=(cfg.num_channels, cfg.num_buoys, samples)).astype(np.float32)
     g_anchors = rng.normal(scale=5_000.0, size=(cfg.num_buoys, 3)).astype(np.float32)
     g_anchors[:, 2] = 0.0
     out = step(
@@ -54,7 +63,7 @@ def _single_process_reference():
     }
 
 
-def test_two_process_multihost_matches_single_process():
+def _run_two_process_demo(extra_args=(), port=19898):
     env = dict(os.environ)
     env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
     env.pop("JAX_PLATFORMS", None)
@@ -64,7 +73,7 @@ def test_two_process_multihost_matches_single_process():
     cmd = lambda pid: [
         sys.executable, os.path.join(REPO, "tools", "multihost_demo.py"),
         "--process-id", str(pid), "--num-processes", "2",
-        "--coordinator", "127.0.0.1:19898",
+        "--coordinator", f"127.0.0.1:{port}", *extra_args,
     ]
     procs = [
         subprocess.Popen(
@@ -76,7 +85,7 @@ def test_two_process_multihost_matches_single_process():
     outs = []
     for p in procs:
         try:
-            stdout, stderr = p.communicate(timeout=300)
+            stdout, stderr = p.communicate(timeout=600)
         except subprocess.TimeoutExpired:
             for q in procs:
                 q.kill()
@@ -87,12 +96,35 @@ def test_two_process_multihost_matches_single_process():
 
     if any("unsupported" in o for o in outs):
         pytest.skip(f"distributed CPU collectives unavailable: {outs}")
+    return outs
 
+
+def test_two_process_multihost_matches_single_process():
+    outs = _run_two_process_demo()
     assert outs[0]["global_devices"] == 8
     for key in ("fix_sum", "cost_sum", "lag_sum"):
         assert outs[0][key] == pytest.approx(outs[1][key], rel=1e-5), key
 
     ref = _single_process_reference()
+    for key in ("fix_sum", "cost_sum", "lag_sum"):
+        assert outs[0][key] == pytest.approx(ref[key], rel=1e-4), (
+            key, outs[0][key], ref[key],
+        )
+
+
+def test_two_process_multihost_config5_256ch():
+    """BASELINE config 5 executes for real (VERDICT r4 item 1): the
+    256-channel × 8-buoy × 16-subchannel north-star program runs across
+    two OS processes wired into one 8-device global mesh, and both
+    processes' replicated checksums match a single-process run of the
+    identical program."""
+    outs = _run_two_process_demo(extra_args=("--config5",), port=19899)
+    assert outs[0]["global_devices"] == 8
+    assert outs[0]["num_channels"] == 256
+    for key in ("fix_sum", "cost_sum", "lag_sum"):
+        assert outs[0][key] == pytest.approx(outs[1][key], rel=1e-5), key
+
+    ref = _single_process_reference(config5=True)
     for key in ("fix_sum", "cost_sum", "lag_sum"):
         assert outs[0][key] == pytest.approx(ref[key], rel=1e-4), (
             key, outs[0][key], ref[key],

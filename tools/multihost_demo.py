@@ -32,6 +32,12 @@ def main() -> int:
     ap.add_argument("--num-processes", type=int, default=2)
     ap.add_argument("--coordinator", default="127.0.0.1:9898")
     ap.add_argument("--local-devices", type=int, default=4)
+    ap.add_argument(
+        "--config5", action="store_true",
+        help="run the BASELINE config-5 north-star shape (256 channels × "
+        "8 buoys, 16 subchannels @ 2.4 MS/s — docs/MULTIHOST.md recipe) "
+        "instead of the toy config; block length scaled for CPU memory",
+    )
     args = ap.parse_args()
 
     import jax
@@ -63,21 +69,39 @@ def main() -> int:
     shape = mesh_lib.balanced_mesh_shape(n)
     mesh = mesh_lib.make_mesh(shape, ("ch", "blk"), devices=devices)
 
-    cfg = ShardedStepConfig(
-        num_channels=max(2, shape[0]),
-        num_buoys=4,
-        num_subchannels=8,
-        taps_per_channel=4,
-        max_lag=12,
-        solver_iterations=8,
-    )
+    if args.config5:
+        # EXACTLY the docs/MULTIHOST.md:39-46 recipe (BASELINE configs[4]:
+        # "256+ channels sharded across N≥2 hosts") — the full 256-channel
+        # program structure; only the per-step sample count is scaled down
+        # so the CPU stand-in devices finish in CI time (the program,
+        # shardings, and collectives are identical at any block length).
+        cfg = ShardedStepConfig(
+            num_channels=256,
+            num_buoys=8,
+            num_subchannels=16,
+            sample_rate_hz=2_400_000.0,
+            max_lag=32,
+            taps_per_channel=4,
+            solver_iterations=8,
+        )
+    else:
+        cfg = ShardedStepConfig(
+            num_channels=max(2, shape[0]),
+            num_buoys=4,
+            num_subchannels=8,
+            taps_per_channel=4,
+            max_lag=12,
+            solver_iterations=8,
+        )
     step, in_shardings = build_sharded_step_split(mesh, cfg)
 
     # Deterministic GLOBAL inputs; every process materializes the full
     # array and the callback hands XLA only the local shard — the
     # pattern a per-host ingest ring would follow with real streams.
     s = mesh.shape["blk"]
-    samples = s * 256
+    # config-5 needs ≥ (max_lag+4)·M + history samples per blk-shard so the
+    # subchannel streams are longer than the correlation lag window.
+    samples = s * (1024 if args.config5 else 256)
     rng = np.random.default_rng(0)
     g_re = rng.normal(size=(cfg.num_channels, cfg.num_buoys, samples)).astype(np.float32)
     g_im = rng.normal(size=(cfg.num_channels, cfg.num_buoys, samples)).astype(np.float32)
@@ -100,6 +124,7 @@ def main() -> int:
         "lag_sum": float(jax.jit(lambda a: a.sum())(out.lags)),
         "process": args.process_id,
         "global_devices": n,
+        "num_channels": cfg.num_channels,
     }
     print(json.dumps(checks), flush=True)
     jax.distributed.shutdown()
