@@ -238,35 +238,67 @@ class TDOAPipeline:
             return self._step_split_multidwell(re, im, anchors_enu)
         use_fused = sc_ops.gcc_fused_enabled(n + c.max_lag, c.weighting)
         fused_detect = False
+        row_smax = None
         if use_fused:
             # ONE forward transform (CT bin order) feeds both stages: the
             # fused pair stage consumes the CT-order spectra directly, and
-            # the detector either runs the fused CT detect kernel (one
-            # VMEM pass, no natural-order power array in HBM at all) or
-            # falls back to a single cheap un-permuting transpose — no
-            # second FFT pass, no complex bin transpose, ever.
-            ct_spectra = sc_ops.receiver_spectra_ct(
-                re, im, max_lag=c.max_lag,
-                precision=sc_ops.gcc_forward_precision(c.weighting),
-            )
+            # the detector either runs IN the forward kernel itself (the
+            # combined FFT+detect kernel — the spectra never round-trip
+            # HBM between transform and detection), or as the standalone
+            # fused CT detect kernel, or falls back to a single cheap
+            # un-permuting transpose — no second FFT pass, no complex bin
+            # transpose, ever.
+            nfft_ct = sc_ops.planned_ct_nfft(n + c.max_lag)
             fused_detect = detect_ops.fused_detect_enabled(
-                ct_spectra[2],
+                nfft_ct,
                 min_distance_bins=constants.DEFAULT_PEAK_MIN_DISTANCE_BINS,
                 noise_floor_stride=c.noise_floor_stride,
             )
-            if fused_detect:
+            combined = fused_detect and detect_ops.fused_fft_detect_enabled(
+                nfft_ct,
+                min_distance_bins=constants.DEFAULT_PEAK_MIN_DISTANCE_BINS,
+                noise_floor_stride=c.noise_floor_stride,
+            )
+            if combined:
+                ct_spectra, partials, row_smax = (
+                    sc_ops.receiver_spectra_ct_detect(
+                        re, im, max_lag=c.max_lag,
+                        sample_rate_hz=c.sample_rate_hz,
+                        threshold_db=c.detection_threshold_db,
+                        min_distance_bins=constants.DEFAULT_PEAK_MIN_DISTANCE_BINS,
+                        dc_notch_hz=constants.DEFAULT_DC_NOTCH_HZ,
+                        confidence_floor=constants.DEFAULT_CONFIDENCE_FLOOR,
+                        snr_fullscale_db=constants.DEFAULT_SNR_FULLSCALE_DB,
+                        power_offset_db=c.power_offset_db,
+                        precision=sc_ops.gcc_forward_precision(c.weighting),
+                    )
+                )
                 peaks = detect_ops.detect_peaks_ct(
                     ct_spectra[0], ct_spectra[1],
                     sample_rate_hz=c.sample_rate_hz,
                     max_peaks=c.max_peaks,
                     threshold_db=c.detection_threshold_db,
                     power_offset_db=c.power_offset_db,
+                    partials=partials,
                 )
             else:
-                power_db = (
-                    sc_ops.ct_power_db(ct_spectra[0], ct_spectra[1])
-                    + c.power_offset_db
+                ct_spectra = sc_ops.receiver_spectra_ct(
+                    re, im, max_lag=c.max_lag,
+                    precision=sc_ops.gcc_forward_precision(c.weighting),
                 )
+                if fused_detect:
+                    peaks = detect_ops.detect_peaks_ct(
+                        ct_spectra[0], ct_spectra[1],
+                        sample_rate_hz=c.sample_rate_hz,
+                        max_peaks=c.max_peaks,
+                        threshold_db=c.detection_threshold_db,
+                        power_offset_db=c.power_offset_db,
+                    )
+                else:
+                    power_db = (
+                        sc_ops.ct_power_db(ct_spectra[0], ct_spectra[1])
+                        + c.power_offset_db
+                    )
         else:
             spectra = sc_ops.receiver_spectra_split(re, im, max_lag=c.max_lag)
             if spectra[2] == 2 * n:
@@ -301,6 +333,7 @@ class TDOAPipeline:
                 weighting=c.weighting,
                 eps=c.gcc_eps,
                 spectra=ct_spectra,
+                row_smax=row_smax,
             )
         else:
             corr_sc = sc_ops.gcc_phat_all_pairs_split(

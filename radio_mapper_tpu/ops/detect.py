@@ -210,6 +210,39 @@ def fused_detect_enabled(
     return _FUSED_DETECT == "on" or jax.default_backend() == "tpu"
 
 
+# "auto": fold the forward CT-FFT and the detect stage into ONE Pallas
+# kernel whenever the fused detect kernel would fire anyway (the combined
+# kernel removes the detect stage's full re-read of the spectra the FFT
+# just wrote — ~142 MB at the 128-ch flagship shape — and overlaps its
+# VPU work with the FFT matmuls); "on"/"off" force. TRACE-time knob.
+_FUSED_FFT_DETECT = "auto"
+
+
+def set_fused_fft_detect(mode: str) -> None:
+    if mode not in ("auto", "on", "off"):
+        raise ValueError(f"unknown fused-fft-detect mode {mode!r}")
+    global _FUSED_FFT_DETECT
+    _FUSED_FFT_DETECT = mode
+
+
+def fused_fft_detect_enabled(
+    nfft: int, *, min_distance_bins: int, noise_floor_stride: int
+) -> bool:
+    """Route forward FFT + detect to the single combined kernel?
+
+    Requires everything :func:`fused_detect_enabled` requires (the
+    combined kernel embeds the same detect body); the extra knob exists
+    so the two-kernel form stays available for A/B and fallback.
+    """
+    if _FUSED_FFT_DETECT == "off":
+        return False
+    return fused_detect_enabled(
+        nfft,
+        min_distance_bins=min_distance_bins,
+        noise_floor_stride=noise_floor_stride,
+    )
+
+
 def detect_peaks_ct(
     spec_re: jnp.ndarray,
     spec_im: jnp.ndarray,
@@ -229,8 +262,16 @@ def detect_peaks_ct(
     # with exact peak parity. Two-stage stays the default; the in-kernel
     # mode remains available (docs/probe_logs/ab_topk.log).
     kernel_topk: bool = False,
+    partials=None,
 ) -> PeakSet:
     """Top-K peak detection directly on CT-order spectra, fused in VMEM.
+
+    ``partials``: optional pre-computed ``(seg_score, seg_arg,
+    noise_floor_db)`` from the combined FFT+detect kernel
+    (`detect_kernel.fft_detect_rows_ct` with ``emit_topk=0``) — skips the
+    standalone detect kernel entirely; only the XLA top-K tail runs here.
+    The caller must have passed IDENTICAL detection parameters to the
+    combined kernel.
 
     Equal to ``detect_peaks(ct_power_db(fr, fi) + power_offset_db, ...)``
     under safe mode (stride-8 noise floor, segmented top-k) — same gates,
@@ -246,18 +287,23 @@ def detect_peaks_ct(
 
     nfft = spec_re.shape[-1]
     n1, n2 = fft_kernel.ct_split(nfft)
-    score, seg_arg, noise_floor = detect_kernel.detect_ct_partials(
-        spec_re, spec_im,
-        sample_rate_hz=sample_rate_hz,
-        threshold_db=threshold_db,
-        min_distance_bins=min_distance_bins,
-        dc_notch_hz=dc_notch_hz,
-        confidence_floor=confidence_floor,
-        snr_fullscale_db=snr_fullscale_db,
-        power_offset_db=power_offset_db,
-        vma=vma,
-        emit_topk=max_peaks if kernel_topk else 0,
-    )
+    if partials is not None:
+        if kernel_topk:
+            raise ValueError("partials are seg-level; kernel_topk needs the kernel")
+        score, seg_arg, noise_floor = partials
+    else:
+        score, seg_arg, noise_floor = detect_kernel.detect_ct_partials(
+            spec_re, spec_im,
+            sample_rate_hz=sample_rate_hz,
+            threshold_db=threshold_db,
+            min_distance_bins=min_distance_bins,
+            dc_notch_hz=dc_notch_hz,
+            confidence_floor=confidence_floor,
+            snr_fullscale_db=snr_fullscale_db,
+            power_offset_db=power_offset_db,
+            vma=vma,
+            emit_topk=max_peaks if kernel_topk else 0,
+        )
     if kernel_topk:
         # selection finished in-kernel: unpack 8·f + off (exact f32)
         top_vals = score

@@ -101,9 +101,8 @@ def _shift_up(x, s: int, n2: int, n1: int):
     return jnp.where(i2 >= n2 - s, xn, xr)
 
 
-def _detect_kernel(
-    fre_ref, fim_ref,
-    score_ref, arg_ref, nf_ref,
+def _detect_body(
+    fre, fim,
     *,
     rows: int,
     n1: int,
@@ -117,7 +116,15 @@ def _detect_kernel(
     bisect_iters: int,
     emit_topk: int = 0,
 ):
-    """One grid cell detects on `rows` CT-order spectra of length n1·n2.
+    """Value-level detect stage on `rows` CT-order spectra of length n1·n2.
+
+    Shared by :func:`detect_ct_partials`'s kernel and the fused
+    FFT+detect kernel (:func:`fft_detect_rows_ct`) — spectra in, partial
+    values out; callers own the output refs. Returns
+    ``(score, arg, nf128, row_max128)`` where ``row_max128`` is the
+    per-row max LINEAR power broadcast to a [rows, 128] lane block (the
+    per-receiver PHAT-gate input — free here since the power array is
+    already resident).
 
     ``emit_topk=K > 0`` finishes the selection IN-KERNEL: K unrolled
     masked-argmax passes over the VMEM-resident segment partials, so the
@@ -127,8 +134,9 @@ def _detect_kernel(
     n = n1 * n2
     n2g = n2 // SEGMENT
 
-    fre, fim = fre_ref[:], fim_ref[:]
     pr = fre * fre + fim * fim  # [rows, n] linear power, CT flat order
+    row_max = jnp.max(pr, axis=-1, keepdims=True)  # [rows, 1]
+    row_max128 = jnp.broadcast_to(row_max, (rows, 128))
 
     # ---- noise floor: stride-8 natural subsample = sublane rows k2≡0 (8)
     sub = pr.reshape(rows * n2g, SEGMENT, n1)[:, 0:1, :].reshape(rows, n2g * n1)
@@ -145,7 +153,7 @@ def _detect_kernel(
 
     lo, hi = jax.lax.fori_loop(0, bisect_iters, bisect, (lo, hi))
     nf = 0.5 * (lo + hi)  # [rows, 1] dB incl. power_offset_db
-    nf_ref[:] = jnp.broadcast_to(nf, (rows, 128))
+    nf128 = jnp.broadcast_to(nf, (rows, 128))
 
     # ---- circular sliding local max along NATURAL bin order (3-D view)
     p3 = pr.reshape(rows, n2, n1)
@@ -186,9 +194,7 @@ def _detect_kernel(
     seg_score = seg_max.reshape(rows, n2g * n1)
     seg_arg_f = seg_arg.reshape(rows, n2g * n1).astype(jnp.float32)
     if not emit_topk:
-        score_ref[:] = seg_score
-        arg_ref[:] = seg_arg_f
-        return
+        return seg_score, seg_arg_f, nf128, row_max128
 
     # ---- in-kernel top-K over the VMEM-resident partials (same masked
     # argmax + lowest-index tie-break as safe.top_k)
@@ -212,8 +218,15 @@ def _detect_kernel(
             lane == k, 8.0 * sel.astype(jnp.float32) + o, idxs
         )
         work = jnp.where(hit, -jnp.inf, work)
-    score_ref[:] = vals
-    arg_ref[:] = idxs
+    return vals, idxs, nf128, row_max128
+
+
+def _detect_kernel(fre_ref, fim_ref, score_ref, arg_ref, nf_ref, **params):
+    """pallas_call shim over :func:`_detect_body` (spectra from HBM)."""
+    score, arg, nf128, _row_max = _detect_body(fre_ref[:], fim_ref[:], **params)
+    score_ref[:] = score
+    arg_ref[:] = arg
+    nf_ref[:] = nf128
 
 
 def notch_keep_range(
@@ -234,6 +247,63 @@ def notch_keep_range(
     if kept.size == 0:
         return 1, 0  # empty range: notch swallows every bin
     return int(kept[0]), int(kept[-1])
+
+
+def _detect_plan(
+    nfft: int,
+    *,
+    sample_rate_hz: float,
+    threshold_db: float,
+    min_distance_bins: int,
+    dc_notch_hz: Optional[float],
+    confidence_floor: float,
+    snr_fullscale_db: float,
+    power_offset_db: float,
+    bisect_iters: int,
+    emit_topk: int,
+):
+    """Validate + derive the static kernel params shared by the plain
+    detect kernel and the fused FFT+detect kernel. Returns
+    ``(n1, n2, params)`` with ``params`` the `_detect_body` kwargs
+    (minus ``rows``)."""
+    n1, n2 = fft_kernel.ct_split(nfft)
+    if n2 % SEGMENT != 0:
+        raise ValueError(f"nfft {nfft}: n2 {n2} not a multiple of {SEGMENT}")
+    if min_distance_bins + 1 < SEGMENT:
+        raise ValueError(
+            f"min_distance_bins {min_distance_bins} < {SEGMENT - 1} breaks "
+            "segment exactness"
+        )
+    if emit_topk and not 0 < emit_topk <= 128:
+        raise ValueError("emit_topk must be in 1..128 (one lane block)")
+    if n2 < min_distance_bins:
+        raise ValueError(
+            f"nfft {nfft}: column height n2={n2} < radius "
+            f"{min_distance_bins} breaks the one-column roll-borrow "
+            f"construction — use the XLA detect stage"
+        )
+    thr_lin = float(10.0 ** ((threshold_db - power_offset_db) / 10.0))
+    if confidence_floor > 1.0:
+        # clip(snr/S) ≤ 1 < floor: nothing can ever pass. Keep the
+        # detect_peaks contract (the noise floor is still computed and
+        # reported) by running the kernel with an impossible threshold
+        # instead of short-circuiting: partials come back all −inf, nf
+        # is the real bisected median.
+        thr_lin = float("inf")
+        conf_cs = None
+    else:
+        conf_cs = (
+            confidence_floor * snr_fullscale_db if confidence_floor > 0.0 else None
+        )
+    keep_lo, keep_hi = notch_keep_range(nfft, sample_rate_hz, dc_notch_hz)
+    params = dict(
+        n1=n1, n2=n2,
+        radius=min_distance_bins,
+        thr_lin=thr_lin, keep_lo=keep_lo, keep_hi=keep_hi,
+        conf_cs=conf_cs, power_offset_db=power_offset_db,
+        bisect_iters=bisect_iters, emit_topk=emit_topk,
+    )
+    return n1, n2, params
 
 
 def detect_ct_partials(
@@ -271,39 +341,20 @@ def detect_ct_partials(
       ``top_packed = 8·f + off`` as float (exact below 2²⁴).
     """
     nfft = spec_re.shape[-1]
-    n1, n2 = fft_kernel.ct_split(nfft)
-    if n2 % SEGMENT != 0:
-        raise ValueError(f"nfft {nfft}: n2 {n2} not a multiple of {SEGMENT}")
-    if min_distance_bins + 1 < SEGMENT:
-        raise ValueError(
-            f"min_distance_bins {min_distance_bins} < {SEGMENT - 1} breaks "
-            "segment exactness"
-        )
-    if emit_topk and not 0 < emit_topk <= 128:
-        raise ValueError("emit_topk must be in 1..128 (one lane block)")
-    if n2 < min_distance_bins:
-        raise ValueError(
-            f"nfft {nfft}: column height n2={n2} < radius "
-            f"{min_distance_bins} breaks the one-column roll-borrow "
-            f"construction — use the XLA detect stage"
-        )
+    n1, n2, params = _detect_plan(
+        nfft,
+        sample_rate_hz=sample_rate_hz,
+        threshold_db=threshold_db,
+        min_distance_bins=min_distance_bins,
+        dc_notch_hz=dc_notch_hz,
+        confidence_floor=confidence_floor,
+        snr_fullscale_db=snr_fullscale_db,
+        power_offset_db=power_offset_db,
+        bisect_iters=bisect_iters,
+        emit_topk=emit_topk,
+    )
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
-
-    thr_lin = float(10.0 ** ((threshold_db - power_offset_db) / 10.0))
-    if confidence_floor > 1.0:
-        # clip(snr/S) ≤ 1 < floor: nothing can ever pass. Keep the
-        # detect_peaks contract (the noise floor is still computed and
-        # reported) by running the kernel with an impossible threshold
-        # instead of short-circuiting: partials come back all −inf, nf
-        # is the real bisected median.
-        thr_lin = float("inf")
-        conf_cs = None
-    else:
-        conf_cs = (
-            confidence_floor * snr_fullscale_db if confidence_floor > 0.0 else None
-        )
-    keep_lo, keep_hi = notch_keep_range(nfft, sample_rate_hz, dc_notch_hz)
 
     batch_shape = spec_re.shape[:-1]
     batch = int(np.prod(batch_shape)) if batch_shape else 1
@@ -327,14 +378,7 @@ def detect_ct_partials(
     nf_spec = pl.BlockSpec(
         (rows_per_block, 128), lambda i: (i, 0), memory_space=pltpu.VMEM
     )
-    kernel = functools.partial(
-        _detect_kernel,
-        rows=rows_per_block, n1=n1, n2=n2,
-        radius=min_distance_bins,
-        thr_lin=thr_lin, keep_lo=keep_lo, keep_hi=keep_hi,
-        conf_cs=conf_cs, power_offset_db=power_offset_db,
-        bisect_iters=bisect_iters, emit_topk=emit_topk,
-    )
+    kernel = functools.partial(_detect_kernel, rows=rows_per_block, **params)
     score, arg, nf = pl.pallas_call(
         kernel,
         grid=grid,
@@ -352,3 +396,165 @@ def detect_ct_partials(
     arg = arg[:batch, :keep].reshape(*batch_shape, keep)
     nf = nf[:batch, 0].reshape(batch_shape)
     return score, arg, nf
+
+
+# ------------------------------------------------- fused FFT + detect
+#
+# The r4 pipeline ran the forward CT-FFT kernel and the detect kernel as
+# two pallas_calls: the FFT wrote ~142 MB of spectra to HBM (128 ch × 8
+# buoys × 17408 bins × 2 planes × f32) and the detect kernel immediately
+# read every byte back. This kernel runs BOTH per grid cell: transform
+# `rows` padded time rows in VMEM (fft_kernel.ct_fft_core — pure MXU),
+# write the spectra ONCE (the GCC pair stage still consumes them), and
+# run the detect body (pure VPU) on the in-register spectra, emitting the
+# tiny partials. The detect stage's HBM read disappears entirely, and its
+# VPU work pipelines against the next cell's DFT matmuls on the MXU.
+#
+# The same epilogue also emits each row's max LINEAR power — the
+# per-receiver PHAT-gate input (gcc_kernel "l2rx" mode), free here since
+# the power array is already resident for detection.
+
+
+def _fft_detect_kernel(
+    xre_ref, xim_ref,
+    w1re_ref, w1im_ref, w2re_ref, w2im_ref, twre_ref, twim_ref,
+    ore_ref, oim_ref, score_ref, arg_ref, nf_ref, rmax_ref,
+    *,
+    rows: int,
+    precision: Optional[str],
+    **params,
+):
+    dot = fft_kernel.kernel_dot(override=precision)
+    ore, oim = fft_kernel.ct_fft_core(
+        xre_ref[:], xim_ref[:],
+        w1re_ref[:], w1im_ref[:], w2re_ref[:], w2im_ref[:],
+        twre_ref[:], twim_ref[:],
+        rows=rows, n1=params["n1"], n2=params["n2"], dot=dot,
+    )
+    ore_ref[:] = ore
+    oim_ref[:] = oim
+    score, arg, nf128, rmax128 = _detect_body(ore, oim, rows=rows, **params)
+    score_ref[:] = score
+    arg_ref[:] = arg
+    nf_ref[:] = nf128
+    rmax_ref[:] = rmax128
+
+
+def fft_detect_rows_ct(
+    re: jnp.ndarray,
+    im: jnp.ndarray,
+    *,
+    sample_rate_hz: float,
+    threshold_db: float,
+    min_distance_bins: int,
+    dc_notch_hz: Optional[float],
+    confidence_floor: float,
+    snr_fullscale_db: float,
+    power_offset_db: float = 0.0,
+    rows_per_block: Optional[int] = None,
+    bisect_iters: int = 24,
+    interpret: Optional[bool] = None,
+    vma=None,
+    emit_topk: int = 0,
+    precision: Optional[str] = None,
+):
+    """Forward CT-order FFT + fused detection in ONE kernel pass.
+
+    Args:
+      re/im: ``[..., nfft]`` float32 time rows, already zero-padded to a
+        CT-supported length (same contract as `fft_kernel.fft_rows_ct`).
+      precision: forward-dot override (see `fft_kernel.kernel_dot`).
+      Detection params mirror :func:`detect_ct_partials`.
+    Returns:
+      ``(fr, fi, seg_score, seg_arg, noise_floor_db, row_max)`` —
+      fr/fi are the CT-order spectra (identical to `fft_rows_ct`), the
+      detect outputs match `detect_ct_partials(fr, fi, ...)` exactly
+      (same ops on the same f32 values — the HBM round-trip it removes
+      was exact), and ``row_max`` is each row's max linear power
+      ``[...]`` (the per-receiver PHAT-gate input).
+    """
+    if re.shape != im.shape:
+        raise ValueError("re/im shape mismatch")
+    nfft = re.shape[-1]
+    n1, n2, params = _detect_plan(
+        nfft,
+        sample_rate_hz=sample_rate_hz,
+        threshold_db=threshold_db,
+        min_distance_bins=min_distance_bins,
+        dc_notch_hz=dc_notch_hz,
+        confidence_floor=confidence_floor,
+        snr_fullscale_db=snr_fullscale_db,
+        power_offset_db=power_offset_db,
+        bisect_iters=bisect_iters,
+        emit_topk=emit_topk,
+    )
+    (_, _, w1re, w1im, w2re, w2im, twre, twim) = fft_kernel.ct_constants(nfft)
+    if rows_per_block is None:
+        # Combined working set ≈ FFT I/O + power + roll temporaries; 16
+        # rows measured fastest for the plain kernels at flagship nfft and
+        # the shared tiles keep the union under the scoped-VMEM budget.
+        rows_per_block = 16 if nfft <= 24_576 else 8
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+
+    batch_shape = re.shape[:-1]
+    batch = int(np.prod(batch_shape)) if batch_shape else 1
+    re2 = re.reshape(batch, nfft).astype(jnp.float32)
+    im2 = im.reshape(batch, nfft).astype(jnp.float32)
+    padded = -(-batch // rows_per_block) * rows_per_block
+    if padded != batch:
+        pad = ((0, padded - batch), (0, 0))
+        re2 = jnp.pad(re2, pad)
+        im2 = jnp.pad(im2, pad)
+
+    n2g = n2 // SEGMENT
+    out_cols = 128 if emit_topk else n2g * n1
+    grid = (padded // rows_per_block,)
+    row_spec = pl.BlockSpec(
+        (rows_per_block, nfft), lambda i: (i, 0), memory_space=pltpu.VMEM
+    )
+    seg_spec = pl.BlockSpec(
+        (rows_per_block, out_cols), lambda i: (i, 0), memory_space=pltpu.VMEM
+    )
+    lane_spec = pl.BlockSpec(
+        (rows_per_block, 128), lambda i: (i, 0), memory_space=pltpu.VMEM
+    )
+    const_spec = lambda a: pl.BlockSpec(
+        a.shape, lambda i: (0, 0), memory_space=pltpu.VMEM
+    )
+    kernel = functools.partial(
+        _fft_detect_kernel, rows=rows_per_block, precision=precision, **params
+    )
+    fr, fi, score, arg, nf, rmax = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            row_spec, row_spec,
+            const_spec(w1re), const_spec(w1im),
+            const_spec(w2re), const_spec(w2im),
+            const_spec(twre), const_spec(twim),
+        ],
+        out_specs=[row_spec, row_spec, seg_spec, seg_spec, lane_spec, lane_spec],
+        out_shape=[
+            fft_kernel._sds((padded, nfft), jnp.float32, vma),
+            fft_kernel._sds((padded, nfft), jnp.float32, vma),
+            fft_kernel._sds((padded, out_cols), jnp.float32, vma),
+            fft_kernel._sds((padded, out_cols), jnp.float32, vma),
+            fft_kernel._sds((padded, 128), jnp.float32, vma),
+            fft_kernel._sds((padded, 128), jnp.float32, vma),
+        ],
+        interpret=interpret,
+    )(
+        re2, im2,
+        fft_kernel._lift(w1re, vma), fft_kernel._lift(w1im, vma),
+        fft_kernel._lift(w2re, vma), fft_kernel._lift(w2im, vma),
+        fft_kernel._lift(twre, vma), fft_kernel._lift(twim, vma),
+    )
+    keep = emit_topk if emit_topk else out_cols
+    fr = fr[:batch].reshape(*batch_shape, nfft)
+    fi = fi[:batch].reshape(*batch_shape, nfft)
+    score = score[:batch, :keep].reshape(*batch_shape, keep)
+    arg = arg[:batch, :keep].reshape(*batch_shape, keep)
+    nf = nf[:batch, 0].reshape(batch_shape)
+    rmax = rmax[:batch, 0].reshape(batch_shape)
+    return fr, fi, score, arg, nf, rmax

@@ -377,32 +377,27 @@ def ct_unpermute(x: jnp.ndarray) -> jnp.ndarray:
     return y.reshape(*x.shape[:-1], n)
 
 
-def _fft_rows_ct_kernel(
-    xre_ref, xim_ref,
-    w1re_ref, w1im_ref, w2re_ref, w2im_ref, twre_ref, twim_ref,
-    ore_ref, oim_ref,
-    *, n1: int, n2: int, rows: int, precision: Optional[str] = None,
+def ct_fft_core(
+    xre, xim,
+    w1re, w1im, w2re, w2im, twre0, twim0,
+    *, rows: int, n1: int, n2: int, dot,
 ):
-    """Forward DFT of `rows` rows, output in CT order m = k2·n1 + k1.
+    """In-register CT-order forward DFT of ``[rows, n1·n2]`` (re, im).
 
-    Identical math to `_fft_rows_kernel` with the final natural-order
-    transpose REMOVED — which is also what makes it compile for any
-    n1 ≡ 0 (mod 128) regardless of n2.
+    The shared body of `_fft_rows_ct_kernel` and the fused FFT+detect
+    kernel (ops/pallas/detect_kernel.fft_detect_rows_ct): values in,
+    values out — callers own the refs. Output flat index m = k2·n1 + k1.
     """
-    dot = kernel_dot(override=precision)
     dn = (((1,), (0,)), ((), ()))
+    twre = jnp.concatenate([twre0] * rows, axis=1)
+    twim = jnp.concatenate([twim0] * rows, axis=1)
 
-    w1re, w1im = w1re_ref[:], w1im_ref[:]
-    w2re, w2im = w2re_ref[:], w2im_ref[:]
-    twre = jnp.concatenate([twre_ref[:]] * rows, axis=1)
-    twim = jnp.concatenate([twim_ref[:]] * rows, axis=1)
-
-    def load(ref):
+    def load(a):
         # [rows, N] → A_all[n2, rows·n1]: A_all[q, r·n1+p] = x[r, q·n1+p].
-        a = ref[:].reshape(rows, n2, n1)
+        a = a.reshape(rows, n2, n1)
         return jnp.transpose(a, (1, 0, 2)).reshape(n2, rows * n1)
 
-    are, aim = load(xre_ref), load(xim_ref)
+    are, aim = load(xre), load(xim)
 
     # Inner DFT over q: B[k2, r·n1+p].
     bre = dot(w2re, are, dn) - dot(w2im, aim, dn)
@@ -422,8 +417,30 @@ def _fft_rows_ct_kernel(
     dim = dot(cre, w1im, dn) + dot(cim, w1re, dn)
 
     # CT order: flat m = k2·n1 + k1 — a no-op merge, n1 stays minor.
-    ore_ref[:] = dre.reshape(rows, n1 * n2)
-    oim_ref[:] = dim.reshape(rows, n1 * n2)
+    return dre.reshape(rows, n1 * n2), dim.reshape(rows, n1 * n2)
+
+
+def _fft_rows_ct_kernel(
+    xre_ref, xim_ref,
+    w1re_ref, w1im_ref, w2re_ref, w2im_ref, twre_ref, twim_ref,
+    ore_ref, oim_ref,
+    *, n1: int, n2: int, rows: int, precision: Optional[str] = None,
+):
+    """Forward DFT of `rows` rows, output in CT order m = k2·n1 + k1.
+
+    Identical math to `_fft_rows_kernel` with the final natural-order
+    transpose REMOVED — which is also what makes it compile for any
+    n1 ≡ 0 (mod 128) regardless of n2.
+    """
+    dot = kernel_dot(override=precision)
+    ore, oim = ct_fft_core(
+        xre_ref[:], xim_ref[:],
+        w1re_ref[:], w1im_ref[:], w2re_ref[:], w2im_ref[:],
+        twre_ref[:], twim_ref[:],
+        rows=rows, n1=n1, n2=n2, dot=dot,
+    )
+    ore_ref[:] = ore
+    oim_ref[:] = oim
 
 
 def fft_rows_ct(

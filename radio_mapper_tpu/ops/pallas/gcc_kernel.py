@@ -52,22 +52,30 @@ def set_default_pair_chunk(n: int) -> None:
 WEIGHTINGS = ("phat", "cc")
 
 # PHAT eps-gate algebra (TRACE-time knob, same caveats as every routing
-# flag). "l1" (default): R/(|R| + eps·max|R|) — the reference-parity
-# form. "l2": R/sqrt(|R|² + eps²·max|R|²) — identical asymptotics on
-# both sides of the gate (ratio → 1 for |R| ≫ eps·s, → eps·s for
-# |R| ≪ eps·s; worst-case 1.41× deviation AT the knee, which only the
-# suppressed bins see), but the whole whiten collapses to one reduction
-# + ONE rsqrt — no |R| materialization, no reciprocal. Probed on-chip
-# r4: τ parity 7.6e-4 samples on correlated scenes, step 6.26 → 5.95
-# ms/block at 128 ch × scan-16 (docs/probe_logs/ab_gate_r4.log) — the
-# default since the gate is this framework's own stabilizer (the
+# flag). "l1": R/(|R| + eps·max|R|) — the reference-parity
+# form. "l2" (default): R/sqrt(|R|² + eps²·max|R|²) — identical
+# asymptotics on both sides of the gate (ratio → 1 for |R| ≫ eps·s,
+# → eps·s for |R| ≪ eps·s; worst-case 1.41× deviation AT the knee, which
+# only the suppressed bins see), but the whole whiten collapses to one
+# reduction + ONE rsqrt — no |R| materialization, no reciprocal. Probed
+# on-chip r4: τ parity 7.6e-4 samples on correlated scenes, step 6.26 →
+# 5.95 ms/block at 128 ch × scan-16 (docs/probe_logs/ab_gate_r4.log) —
+# the default since the gate is this framework's own stabilizer (the
 # reference never correlates waveforms at all; PHAT semantics proper are
 # unchanged away from the eps knee).
+# "l2rx": the l2 floor with the per-pair reduction REPLACED by the
+# per-receiver bound max|R_ij|² ≤ max|X_i|²·max|Y_j|² — the pair kernel
+# then runs NO spectral reduction at all (the per-receiver maxima arrive
+# precomputed from the fused FFT+detect kernel's epilogue, where the
+# power array is already resident). The bound overestimates the gate
+# scale when X's and Y's maxima sit at different bins — equivalent to a
+# modestly larger eps, i.e. a slightly stronger floor on already-
+# suppressed bins; requires ``row_smax`` (falls back to "l2" without).
 _PHAT_GATE = "l2"
 
 
 def set_phat_gate(mode: str) -> None:
-    if mode not in ("l1", "l2"):
+    if mode not in ("l1", "l2", "l2rx"):
         raise ValueError(f"unknown phat gate {mode!r}")
     global _PHAT_GATE
     _PHAT_GATE = mode
@@ -93,15 +101,21 @@ def plan_nfft(min_len: int) -> int:
 
 
 
-def _whiten(rre, rim, eps):
-    """PHAT whitening under the module gate algebra (see _PHAT_GATE).
+def _whiten(rre, rim, eps, gate=None, s2=None):
+    """PHAT whitening under the gate algebra (see _PHAT_GATE).
 
     l1: |R| via x·rsqrt(x) and ONE reciprocal instead of sqrt + two
     divides (A/B'd on-chip r3: neutral vs sqrt+div). l2: the whole block
-    is one max-reduction + one rsqrt — no |R|, no reciprocal.
+    is one max-reduction + one rsqrt — no |R|, no reciprocal. l2rx: the
+    caller supplies ``s2`` ([m, 1], per-receiver max product) and the
+    reduction disappears entirely.
     """
+    if gate is None:
+        gate = _PHAT_GATE
     p2 = rre * rre + rim * rim
-    if _PHAT_GATE == "l2":
+    if gate == "l2rx":
+        inv = jax.lax.rsqrt(p2 + (eps * eps) * s2 + 1e-30)
+    elif gate == "l2":
         s2 = jnp.max(p2, axis=-1, keepdims=True)  # max|R|² per pair
         inv = jax.lax.rsqrt(p2 + (eps * eps) * s2 + 1e-30)
     else:
@@ -116,13 +130,13 @@ def _gcc_pairs_kernel(
     sre_ref, sim_ref,
     w1re_ref, w1im_ref, w2negre_ref, w2negim_ref,
     w2posre_ref, w2posim_ref, twre_ref, twim_ref,
-    oneg_ref, opos_ref,
-    *,
+    *rest,
     pairs: Tuple[Tuple[int, int], ...],
     n1: int,
     n2: int,
     eps: float,
     whiten: bool,
+    gate: str = "l2",
 ):
     """One grid cell = one channel × one static pair chunk.
 
@@ -130,7 +144,14 @@ def _gcc_pairs_kernel(
     unit leading dims — Mosaic's layout inference aborts on rank-1
     vectors and leading-1 reshapes (observed on-chip: `inferReshape`
     check failure), so rows are sliced keepdim and outputs are 2-D.
+
+    ``gate == "l2rx"`` adds a ``smax_ref`` input ([B, 128] per-receiver
+    max linear power, lane-broadcast) ahead of the output refs.
     """
+    if gate == "l2rx":
+        smax_ref, oneg_ref, opos_ref = rest
+    else:
+        oneg_ref, opos_ref = rest
     m = len(pairs)
     # The relaxed single-pass-bf16 inverse knob is justified ONLY by PHAT's
     # flat post-whitening dynamic range; the unwhitened "cc" cross-spectrum
@@ -159,7 +180,17 @@ def _gcc_pairs_kernel(
     )
 
     if whiten:
-        rre, rim = _whiten(rre, rim, eps)
+        s2 = None
+        if gate == "l2rx":
+            smax = smax_ref[:]  # [B, 128] lane-broadcast per-receiver max
+            s2 = jnp.concatenate(
+                [
+                    smax[i : i + 1, :1] * smax[j : j + 1, :1]
+                    for i, j in pairs
+                ],
+                axis=0,
+            )  # [m, 1] — max|X_i|²·max|Y_j|² ≥ max|R_ij|²
+        rre, rim = _whiten(rre, rim, eps, gate=gate, s2=s2)
 
     _invert_to_lag_windows(
         rre, rim, w1re_ref, w1im_ref, w2negre_ref, w2negim_ref,
@@ -271,6 +302,7 @@ def gcc_pair_lag_mags(
     pair_chunk: Optional[int] = None,
     interpret: Optional[bool] = None,
     vma=None,
+    row_smax: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
     """Correlation-magnitude lag windows for all pairs.
 
@@ -278,6 +310,9 @@ def gcc_pair_lag_mags(
       spec_re/spec_im: ``[..., B, nfft]`` CT-order spectra
         (:func:`fft_kernel.fft_rows_ct` output).
       pair_i/pair_j: static receiver index arrays, length P.
+      row_smax: optional ``[..., B]`` per-receiver max linear spectral
+        power (from the fused FFT+detect kernel) — enables the "l2rx"
+        PHAT gate, which runs NO spectral reduction in this kernel.
     Returns:
       ``[..., P, 2·max_lag+1]`` float32 |r| at lags −max_lag..+max_lag.
     """
@@ -285,6 +320,9 @@ def gcc_pair_lag_mags(
         raise ValueError(f"fused GCC supports {WEIGHTINGS}, not {weighting!r}")
     if pair_chunk is None:
         pair_chunk = DEFAULT_PAIR_CHUNK
+    gate = _PHAT_GATE
+    if gate == "l2rx" and (row_smax is None or weighting != "phat"):
+        gate = "l2"  # bound input unavailable — keep the per-pair form
     nfft = spec_re.shape[-1]
     b = spec_re.shape[-2]
     n1, n2, w1re, w1im, w2re, w2im, twre, twim = fft_kernel.ct_constants(
@@ -313,7 +351,18 @@ def gcc_pair_lag_mags(
     sre = sre.reshape(c * b_pad, nfft)
     sim = sim.reshape(c * b_pad, nfft)
 
+    smax_in = None
+    if gate == "l2rx":
+        # [..., B] → [c·b_pad, 128] lane-broadcast (tiny: 4 KB per 8 rows)
+        sm = row_smax.reshape(c, b).astype(jnp.float32)
+        if b_pad != b:
+            sm = jnp.pad(sm, ((0, 0), (0, b_pad - b)))
+        smax_in = jnp.broadcast_to(
+            sm.reshape(c * b_pad, 1), (c * b_pad, 128)
+        ) * jnp.float32(1.0)
+
     spec_spec = pl.BlockSpec((b_pad, nfft), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    smax_spec = pl.BlockSpec((b_pad, 128), lambda i: (i, 0), memory_space=pltpu.VMEM)
     w2negre, w2negim, w2posre, w2posim, nneg_p, npos_p = _w2_window_rows(
         w2re, w2im, n2, nneg, npos
     )
@@ -331,22 +380,27 @@ def gcc_pair_lag_mags(
         kernel = functools.partial(
             _gcc_pairs_kernel,
             pairs=pairs, n1=n1, n2=n2,
-            eps=eps, whiten=(weighting == "phat"),
+            eps=eps, whiten=(weighting == "phat"), gate=gate,
         )
         out_spec = lambda rows: pl.BlockSpec(
             (rows, m * n1), lambda i: (i, 0), memory_space=pltpu.VMEM
         )
+        in_specs = [spec_spec, spec_spec] + const_specs
+        args = (sre, sim, *consts)
+        if gate == "l2rx":
+            in_specs = in_specs + [smax_spec]
+            args = args + (smax_in,)
         oneg, opos = pl.pallas_call(
             kernel,
             grid=(c,),
-            in_specs=[spec_spec, spec_spec] + const_specs,
+            in_specs=in_specs,
             out_specs=[out_spec(nneg_p), out_spec(npos_p)],
             out_shape=[
                 fft_kernel._sds((c * nneg_p, m * n1), jnp.float32, vma),
                 fft_kernel._sds((c * npos_p, m * n1), jnp.float32, vma),
             ],
             interpret=interpret,
-        )(sre, sim, *consts)
+        )(*args)
         oneg = _window_rows_to_pair_major(oneg, c, nneg_p, nneg, m, n1)
         opos = _window_rows_to_pair_major(opos, c, npos_p, npos, m, n1)
         # lags −max_lag..−1 from the tail of the neg rows; 0..max_lag from
@@ -390,7 +444,10 @@ def _gcc_rows_kernel(
     rim = xim * yre - xre * yim
 
     if whiten:
-        rre, rim = _whiten(rre, rim, eps)
+        # Row-aligned (EP) pairs have no per-receiver smax plumbed; the
+        # l2rx gate degrades to l2 here (same floor, per-pair reduction).
+        gate = "l2" if _PHAT_GATE == "l2rx" else _PHAT_GATE
+        rre, rim = _whiten(rre, rim, eps, gate=gate)
 
     _invert_to_lag_windows(
         rre, rim, w1re_ref, w1im_ref, w2negre_ref, w2negim_ref,

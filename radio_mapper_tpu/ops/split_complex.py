@@ -303,6 +303,60 @@ def receiver_spectra_ct(
     return fr, fi, nfft
 
 
+def planned_ct_nfft(min_len: int) -> int:
+    """The fused planner's FFT length for ``min_len`` (pipeline routing
+    needs it BEFORE any spectra exist, to pick the detect path)."""
+    from radio_mapper_tpu.ops.pallas import gcc_kernel
+
+    return gcc_kernel.plan_nfft(min_len)
+
+
+def receiver_spectra_ct_detect(
+    sig_re: jnp.ndarray,
+    sig_im: jnp.ndarray,
+    *,
+    max_lag: int,
+    sample_rate_hz: float,
+    threshold_db: float,
+    min_distance_bins: int,
+    dc_notch_hz,
+    confidence_floor: float,
+    snr_fullscale_db: float,
+    power_offset_db: float = 0.0,
+    vma=None,
+    precision: Optional[str] = None,
+):
+    """CT-order spectra + detect partials + per-row power max, ONE kernel.
+
+    Combined form of :func:`receiver_spectra_ct` followed by the detect
+    kernel (`detect_kernel.fft_detect_rows_ct`): the spectra never
+    round-trip HBM between the forward transform and detection. Returns
+    ``((fr, fi, nfft), (seg_score, seg_arg, noise_floor_db), row_max)``
+    where ``row_max[..., B]`` is each receiver's max linear spectral
+    power (the per-receiver PHAT-gate input, gcc_kernel "l2rx").
+    """
+    from radio_mapper_tpu.ops.pallas import detect_kernel, gcc_kernel
+
+    n = sig_re.shape[-1]
+    if max_lag >= n:
+        raise ValueError(f"max_lag {max_lag} must be < block length {n}")
+    nfft = gcc_kernel.plan_nfft(n + max_lag)
+    pad = lambda a: jnp.pad(a, [(0, 0)] * (a.ndim - 1) + [(0, nfft - n)])
+    fr, fi, score, arg, nf, rmax = detect_kernel.fft_detect_rows_ct(
+        pad(sig_re), pad(sig_im),
+        sample_rate_hz=sample_rate_hz,
+        threshold_db=threshold_db,
+        min_distance_bins=min_distance_bins,
+        dc_notch_hz=dc_notch_hz,
+        confidence_floor=confidence_floor,
+        snr_fullscale_db=snr_fullscale_db,
+        power_offset_db=power_offset_db,
+        vma=vma,
+        precision=precision,
+    )
+    return (fr, fi, nfft), (score, arg, nf), rmax
+
+
 def ct_power_db(fr: jnp.ndarray, fi: jnp.ndarray) -> jnp.ndarray:
     """Natural-bin-order power spectrum (dB) from CT-order split spectra.
 
@@ -327,6 +381,7 @@ def gcc_phat_all_pairs_split_fused(
     eps: float = 0.05,
     psr_exclude: int = 8,
     spectra: "Optional[Tuple[jnp.ndarray, jnp.ndarray, int]]" = None,
+    row_smax: Optional[jnp.ndarray] = None,
 ) -> CorrelationPeakSC:
     """All-pairs GCC with the whole pair stage fused in VMEM.
 
@@ -364,7 +419,8 @@ def gcc_phat_all_pairs_split_fused(
         )
     i_idx, j_idx = gcc.pair_indices(b)
     mags = gcc_kernel.gcc_pair_lag_mags(
-        fr, fi, i_idx, j_idx, max_lag=max_lag, eps=eps, weighting=weighting
+        fr, fi, i_idx, j_idx, max_lag=max_lag, eps=eps, weighting=weighting,
+        row_smax=row_smax,
     )
     pk = gcc.peaks_from_lag_mags(
         mags, sample_rate_hz=sample_rate_hz, max_lag=max_lag,
