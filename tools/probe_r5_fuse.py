@@ -19,9 +19,12 @@ Run in a FRESH process under nohup (failed ops poison the client session):
 
 from __future__ import annotations
 
+import sys
 import time
 
 import numpy as np
+
+sys.path.insert(0, "/root/repo")
 
 
 CH = 128
