@@ -22,6 +22,25 @@ from tools.load_central import run_load
 
 
 @pytest.mark.slow
+def test_central_100_det_per_s_p95_under_5s():
+    """The <5 s detection→fix stretch target (`Documents/TDOA_README.md:
+    112-115`) pinned UNDER LOAD (VERDICT r4 item 7): ≥100 det/s offered
+    through real WebSockets, p95 fix latency asserted inside the budget.
+    The sweep (docs/ARCHITECTURE.md) measured p95 = 42 ms at this rate on
+    the CI host — the 5 s assertion holds ~100× slack for loaded boxes."""
+    res = asyncio.run(
+        run_load(num_buoys=4, rate_per_s=100.0, duration_s=15.0,
+                 ws_port=18785, http_port=18786)
+    )
+    offered = res["sent"] / 15.0
+    assert offered >= 90.0, res  # the generator actually hit ~100 det/s
+    assert res["fixes"] > 0, res
+    assert 0.0 < res["fix_latency_p95_s"] < 5.0, res
+    # correlation working set stays O(window), not O(test duration)
+    assert res["recent_working_set_peak"] <= 100.0 * 5.0 * 2.5, res
+
+
+@pytest.mark.slow
 def test_central_sustains_multi_buoy_detection_load():
     res = asyncio.run(
         run_load(num_buoys=4, rate_per_s=20.0, duration_s=20.0,
