@@ -548,7 +548,10 @@ def main():
     # Scan depth ladder A/B'd on-chip: single-block ~13 → K=4 8.56 →
     # K=8 6.98 → K=16 6.51 ms/block at 128 ch (probe_ab_tuning_r4,
     # probe_ab_depth_rows). K=16 input stacks stay ≲4.3 GB at 256 ch.
-    scan_k = int(os.environ.get("BENCH_SCAN_BLOCKS", "16"))
+    # scan-32 A/B'd r5: 5.24 (s16) → 5.04 ms/block (docs/probe_logs/
+    # ab_r5_fuse.log); input stacks stay ≲8.6 GB at 256 ch (on-device
+    # broadcast, one block over the link).
+    scan_k = int(os.environ.get("BENCH_SCAN_BLOCKS", "32"))
     best = {"rate": 0.0}
     for ch in (64, 128, 256):
         try:

@@ -112,21 +112,33 @@ class WidebandTDOAPipeline:
             pad = [(0, 0), (0, nfft - c.sub_block)]
             fr, fi = fft_ops.fft_re_im(jnp.pad(cre, pad), jnp.pad(cim, pad))
         # One-hot matmul pair gather (X row k pairs Y row k) — the proven
-        # fast gather on this runtime; safe.pair_select contracts at
-        # HIGHEST so gathered f32 spectra pass through EXACTLY (a
-        # default-precision dot would round them through bf16 on TPU).
+        # fast gather on this runtime. Precision is per-weighting: PHAT
+        # runs it single-pass bf16 (phase-only consumer, ~6× less MXU
+        # work than HIGHEST — sc_ops.gcc_gather_precision, probed r5);
+        # "cc" keeps HIGHEST so f32 spectra pass through exactly.
         from radio_mapper_tpu.ops import safe
 
-        xfr = safe.pair_select(fr, self.pair_i, axis=-2)
-        xfi = safe.pair_select(fi, self.pair_i, axis=-2)
-        yfr = safe.pair_select(fr, self.pair_j, axis=-2)
-        yfi = safe.pair_select(fi, self.pair_j, axis=-2)
+        gp = sc_ops.gcc_gather_precision(c.weighting)
+        xfr = safe.pair_select(fr, self.pair_i, axis=-2, precision=gp)
+        xfi = safe.pair_select(fi, self.pair_i, axis=-2, precision=gp)
+        yfr = safe.pair_select(fr, self.pair_j, axis=-2, precision=gp)
+        yfi = safe.pair_select(fi, self.pair_j, axis=-2, precision=gp)
         if self._use_fused:
             from radio_mapper_tpu.ops.pallas import gcc_kernel
 
+            # Per-pair l2rx gate scales from per-receiver maxima: one
+            # cheap [B, nfft] reduction replaces the kernel's [P, nfft]
+            # one (P/B ≈ 31× less reduction work at 64 buoys).
+            s2 = None
+            if c.weighting == "phat" and gcc_kernel._PHAT_GATE == "l2rx":
+                rmax = jnp.max(fr * fr + fi * fi, axis=-1)  # [B]
+                s2 = (
+                    safe.pair_select(rmax[None, :], self.pair_i, axis=-1)
+                    * safe.pair_select(rmax[None, :], self.pair_j, axis=-1)
+                )[0]
             return gcc_kernel.gcc_rows_lag_mags(
                 xfr, xfi, yfr, yfi,
-                max_lag=L, eps=c.gcc_eps, weighting=c.weighting,
+                max_lag=L, eps=c.gcc_eps, weighting=c.weighting, s2=s2,
             )
         rre = xfr * yfr + xfi * yfi
         rim = xfi * yfr - xfr * yfi

@@ -63,15 +63,20 @@ WEIGHTINGS = ("phat", "cc")
 # the default since the gate is this framework's own stabilizer (the
 # reference never correlates waveforms at all; PHAT semantics proper are
 # unchanged away from the eps knee).
-# "l2rx": the l2 floor with the per-pair reduction REPLACED by the
-# per-receiver bound max|R_ij|² ≤ max|X_i|²·max|Y_j|² — the pair kernel
-# then runs NO spectral reduction at all (the per-receiver maxima arrive
-# precomputed from the fused FFT+detect kernel's epilogue, where the
-# power array is already resident). The bound overestimates the gate
-# scale when X's and Y's maxima sit at different bins — equivalent to a
-# modestly larger eps, i.e. a slightly stronger floor on already-
-# suppressed bins; requires ``row_smax`` (falls back to "l2" without).
-_PHAT_GATE = "l2"
+# "l2rx" (DEFAULT since r5): the l2 floor with the per-pair reduction
+# REPLACED by the per-receiver bound max|R_ij|² ≤ max|X_i|²·max|Y_j|² —
+# the pair kernel then runs NO spectral reduction at all (the
+# per-receiver maxima arrive precomputed from the fused FFT+detect
+# kernel's epilogue, where the power array is already resident). The
+# bound overestimates the gate scale when X's and Y's maxima sit at
+# different bins — equivalent to a modestly larger eps, i.e. a slightly
+# stronger floor on already-suppressed bins; requires ``row_smax``
+# (falls back to "l2" without). Probed on-chip r5
+# (docs/probe_logs/ab_r5_fuse.log): step 5.82 → 5.24 ms/block at 128 ch
+# × scan-16 with the combined FFT+detect kernel, τ parity vs l2 EXACTLY
+# 0 on a correlated 20 dB scene (the same bin maximizes |X|, |Y| and
+# |XY*|, making the bound tight) and 0.011 samples at 3 dB SNR (CPU).
+_PHAT_GATE = "l2rx"
 
 
 def set_phat_gate(mode: str) -> None:
@@ -418,20 +423,29 @@ def _gcc_rows_kernel(
     xre_ref, xim_ref, yre_ref, yim_ref,
     w1re_ref, w1im_ref, w2negre_ref, w2negim_ref,
     w2posre_ref, w2posim_ref, twre_ref, twim_ref,
-    oneg_ref, opos_ref,
-    *,
+    *rest,
     rows: int,
     n1: int,
     n2: int,
     eps: float,
     whiten: bool,
+    rx_gate: bool = False,
 ):
     """Row-aligned variant of :func:`_gcc_pairs_kernel`: row k of X pairs
     with row k of Y — no static gather, so the grid tiles over PAIR ROWS
     and VMEM stays bounded at ``rows`` spectra regardless of how many
     pairs the caller has (the dense-gather kernel maps ALL receiver rows
     per cell, which OOMs VMEM when the "receivers" are thousands of
-    pair-EP pseudo-rows)."""
+    pair-EP pseudo-rows).
+
+    ``rx_gate=True`` adds an ``s2_ref`` input ([rows, 128] lane-broadcast
+    per-pair gate scales, precomputed by the caller from per-receiver
+    maxima) ahead of the output refs — the l2rx form with NO spectral
+    reduction in-kernel."""
+    if rx_gate:
+        s2_ref, oneg_ref, opos_ref = rest
+    else:
+        oneg_ref, opos_ref = rest
     m = rows
     # The relaxed single-pass-bf16 inverse knob is justified ONLY by PHAT's
     # flat post-whitening dynamic range; the unwhitened "cc" cross-spectrum
@@ -444,10 +458,13 @@ def _gcc_rows_kernel(
     rim = xim * yre - xre * yim
 
     if whiten:
-        # Row-aligned (EP) pairs have no per-receiver smax plumbed; the
-        # l2rx gate degrades to l2 here (same floor, per-pair reduction).
-        gate = "l2" if _PHAT_GATE == "l2rx" else _PHAT_GATE
-        rre, rim = _whiten(rre, rim, eps, gate=gate)
+        if rx_gate:
+            rre, rim = _whiten(rre, rim, eps, gate="l2rx", s2=s2_ref[:, :1])
+        else:
+            # No per-pair gate scales plumbed: l2rx degrades to l2
+            # (same floor, per-pair reduction).
+            gate = "l2" if _PHAT_GATE == "l2rx" else _PHAT_GATE
+            rre, rim = _whiten(rre, rim, eps, gate=gate)
 
     _invert_to_lag_windows(
         rre, rim, w1re_ref, w1im_ref, w2negre_ref, w2negim_ref,
@@ -468,12 +485,16 @@ def gcc_rows_lag_mags(
     rows_chunk: Optional[int] = None,
     interpret: Optional[bool] = None,
     vma=None,
+    s2: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
     """Correlation-magnitude lag windows for row-aligned pair spectra.
 
     Args:
       xre/xim, yre/yim: ``[P, nfft]`` CT-order spectra; pair k correlates
         X row k against Y row k (R = X·conj(Y)).
+      s2: optional ``[P]`` per-pair PHAT gate scales
+        (max|X_k|²·max|Y_k|², precomputed from per-receiver maxima) —
+        enables the "l2rx" gate: NO spectral reduction in this kernel.
     Returns:
       ``[P, 2·max_lag+1]`` float32 |r| at lags −max_lag..+max_lag.
 
@@ -486,6 +507,9 @@ def gcc_rows_lag_mags(
         raise ValueError(f"fused GCC supports {WEIGHTINGS}, not {weighting!r}")
     if rows_chunk is None:
         rows_chunk = DEFAULT_PAIR_CHUNK
+    rx_gate = (
+        _PHAT_GATE == "l2rx" and s2 is not None and weighting == "phat"
+    )
     nfft = xre.shape[-1]
     p = xre.shape[0]
     n1, n2, w1re, w1im, w2re, w2im, twre, twim = fft_kernel.ct_constants(
@@ -506,7 +530,18 @@ def gcc_rows_lag_mags(
         xre, xim = jnp.pad(xre, padw), jnp.pad(xim, padw)
         yre, yim = jnp.pad(yre, padw), jnp.pad(yim, padw)
 
+    s2_in = None
+    if rx_gate:
+        s2v = s2.astype(jnp.float32)
+        if p_pad != p:
+            # padded rows whiten against a unit gate (outputs sliced off)
+            s2v = jnp.pad(s2v, (0, p_pad - p), constant_values=1.0)
+        s2_in = jnp.broadcast_to(
+            s2v.reshape(p_pad, 1), (p_pad, 128)
+        ) * jnp.float32(1.0)
+
     row_spec = pl.BlockSpec((chunk, nfft), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    s2_spec = pl.BlockSpec((chunk, 128), lambda i: (i, 0), memory_space=pltpu.VMEM)
     w2negre, w2negim, w2posre, w2posim, nneg_p, npos_p = _w2_window_rows(
         w2re, w2im, n2, nneg, npos
     )
@@ -520,23 +555,28 @@ def gcc_rows_lag_mags(
     kernel = functools.partial(
         _gcc_rows_kernel,
         rows=chunk, n1=n1, n2=n2,
-        eps=eps, whiten=(weighting == "phat"),
+        eps=eps, whiten=(weighting == "phat"), rx_gate=rx_gate,
     )
     groups = p_pad // chunk
     out_spec = lambda rows: pl.BlockSpec(
         (rows, chunk * n1), lambda i: (i, 0), memory_space=pltpu.VMEM
     )
+    in_specs = [row_spec] * 4 + const_specs
+    args = (xre, xim, yre, yim, *consts)
+    if rx_gate:
+        in_specs = in_specs + [s2_spec]
+        args = args + (s2_in,)
     oneg, opos = pl.pallas_call(
         kernel,
         grid=(groups,),
-        in_specs=[row_spec] * 4 + const_specs,
+        in_specs=in_specs,
         out_specs=[out_spec(nneg_p), out_spec(npos_p)],
         out_shape=[
             fft_kernel._sds((groups * nneg_p, chunk * n1), jnp.float32, vma),
             fft_kernel._sds((groups * npos_p, chunk * n1), jnp.float32, vma),
         ],
         interpret=interpret,
-    )(xre, xim, yre, yim, *consts)
+    )(*args)
     oneg = _window_rows_to_pair_major(oneg, groups, nneg_p, nneg, chunk, n1)
     opos = _window_rows_to_pair_major(opos, groups, npos_p, npos, chunk, n1)
     window = jnp.concatenate(

@@ -74,32 +74,38 @@ def take_many_last(x: jnp.ndarray, k: jnp.ndarray) -> jnp.ndarray:
     return jnp.stack(outs, axis=-1)
 
 
-def pair_select(x: jnp.ndarray, idx: jnp.ndarray, axis: int = -1) -> jnp.ndarray:
+def pair_select(
+    x: jnp.ndarray, idx: jnp.ndarray, axis: int = -1, precision=None
+) -> jnp.ndarray:
     """Gather x along `axis` by a SHARED 1-D index vector, gather-free.
 
     Equivalent to ``jnp.take(x, idx, axis=axis)`` for axis −1/−2 — but as a
     one-hot contraction on the MXU. On the target runtime a plain XLA
     gather of even a [32, 8] → [32, 28] pair expansion measured ~6 ms
     (dominating the whole pipeline step!); this form is microseconds.
-    Exact: one-hot entries are 0.0/1.0 and the contraction runs at
-    Precision.HIGHEST, so f32 values pass through unchanged even though
+    Exact by default: one-hot entries are 0.0/1.0 and the contraction runs
+    at Precision.HIGHEST, so f32 values pass through unchanged even though
     the MXU's default f32 matmul uses lossy bf16 passes. `idx` may be a
     tracer or static.
+
+    ``precision``: override (e.g. ``Precision.DEFAULT`` = ONE bf16 MXU
+    pass instead of HIGHEST's six). A default-precision select rounds the
+    gathered f32 values through bf16 — ONLY acceptable for consumers that
+    tolerate bf16 inputs, e.g. the PHAT chain's phase-only whitening
+    (the r4 forward-precision argument; τ parity probed r5).
     """
     if axis not in (-1, -2):
         raise ValueError("pair_select supports axis -1 or -2 only")
+    if precision is None:
+        precision = jax.lax.Precision.HIGHEST
     n = x.shape[axis]
     idx = jnp.asarray(idx, jnp.int32)
     onehot = (
         jnp.arange(n, dtype=jnp.int32)[:, None] == idx[None, :]
     ).astype(x.dtype)  # [n, P]
     if axis == -1:
-        return jnp.einsum(
-            "...n,np->...p", x, onehot, precision=jax.lax.Precision.HIGHEST
-        )
-    return jnp.einsum(
-        "...nf,np->...pf", x, onehot, precision=jax.lax.Precision.HIGHEST
-    )
+        return jnp.einsum("...n,np->...p", x, onehot, precision=precision)
+    return jnp.einsum("...nf,np->...pf", x, onehot, precision=precision)
 
 
 # Sliding-max implementation: "window" = one reduce_window pass over a

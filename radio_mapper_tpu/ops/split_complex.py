@@ -276,6 +276,40 @@ def gcc_forward_precision(weighting: str) -> Optional[str]:
     return "default" if weighting == "phat" else None
 
 
+# A/B override for the PHAT pair-gather precision (None = auto policy).
+_GCC_GATHER_PRECISION: Optional[str] = None
+
+
+def set_gcc_gather_precision(name: Optional[str]) -> None:
+    """Force the row-aligned pair-gather precision ('highest'/'default')
+    or None to restore the per-weighting policy. TRACE-time knob."""
+    if name not in (None, "highest", "default"):
+        raise ValueError(f"unknown gather precision {name!r}")
+    global _GCC_GATHER_PRECISION
+    _GCC_GATHER_PRECISION = name
+
+
+def gcc_gather_precision(weighting: str):
+    """One-hot pair-gather precision for a GCC chain (a jax Precision).
+
+    The HIGHEST default exists because a default-precision one-hot dot
+    rounds the gathered f32 spectra through bf16 (CLAUDE.md). But the
+    PHAT chain consumes only cross-spectrum PHASE — the same argument
+    that lets its forward FFT run single-pass bf16
+    (:func:`gcc_forward_precision`) covers the gather, at ONE MXU pass
+    instead of HIGHEST's six. "cc" keeps HIGHEST: its correlation
+    carries the signal's real dynamic range. τ parity probed on-chip r5
+    (docs/probe_logs/ab_r5_wideband.log).
+    """
+    name = _GCC_GATHER_PRECISION
+    if name is None:
+        name = "default" if weighting == "phat" else "highest"
+    return (
+        jax.lax.Precision.DEFAULT if name == "default"
+        else jax.lax.Precision.HIGHEST
+    )
+
+
 def receiver_spectra_ct(
     sig_re: jnp.ndarray, sig_im: jnp.ndarray, *, max_lag: int, vma=None,
     precision: Optional[str] = None,

@@ -141,21 +141,32 @@ def build_pair_ep_step(mesh: Mesh, config: PairEPConfig, *, axis: str = "pair"):
 
         # One-hot matmul gather of this shard's pair spectra: data-indexed
         # gathers are unproven on the target runtime; [P_loc, B]×[B, nfft]
-        # contractions are its fastest primitive. safe.pair_select runs
-        # them at HIGHEST so gathered f32 spectra pass through EXACTLY
-        # (a default-precision dot would round through bf16 on TPU);
-        # B ≪ nfft keeps the 6-pass emulation negligible.
+        # contractions are its fastest primitive. PHAT chains run it
+        # single-pass bf16 (phase-only consumer — gcc_gather_precision,
+        # probed r5); "cc" keeps HIGHEST so f32 spectra pass through
+        # exactly.
         from radio_mapper_tpu.ops import safe
 
-        xfr = safe.pair_select(fr, pi_l, axis=-2)
-        xfi = safe.pair_select(fi, pi_l, axis=-2)
-        yfr = safe.pair_select(fr, pj_l, axis=-2)
-        yfi = safe.pair_select(fi, pj_l, axis=-2)
+        gp = sc_ops.gcc_gather_precision(cfg.weighting)
+        xfr = safe.pair_select(fr, pi_l, axis=-2, precision=gp)
+        xfi = safe.pair_select(fi, pi_l, axis=-2, precision=gp)
+        yfr = safe.pair_select(fr, pj_l, axis=-2, precision=gp)
+        yfi = safe.pair_select(fi, pj_l, axis=-2, precision=gp)
 
         L = cfg.max_lag
         if use_fused:
             from radio_mapper_tpu.ops.pallas import gcc_kernel
 
+            # Per-pair l2rx gate scales from per-receiver maxima: ONE
+            # [B, nfft] reduction on the gathered spectra replaces the
+            # kernel's [P_loc, nfft] one (P/B ≈ 16-128× less work).
+            s2 = None
+            if cfg.weighting == "phat" and gcc_kernel._PHAT_GATE == "l2rx":
+                rmax = jnp.max(fr * fr + fi * fi, axis=-1)  # [B]
+                s2 = (
+                    safe.pair_select(rmax[None, :], pi_l, axis=-1)
+                    * safe.pair_select(rmax[None, :], pj_l, axis=-1)
+                )[0]
             # Row-aligned kernel: pair k = X row k × conj(Y row k); the
             # grid tiles pair rows so VMEM is bounded by the chunk size,
             # not P_loc (the dense-gather kernel maps every row per cell
@@ -166,6 +177,7 @@ def build_pair_ep_step(mesh: Mesh, config: PairEPConfig, *, axis: str = "pair"):
                 eps=cfg.gcc_eps,
                 weighting=cfg.weighting,
                 vma=(axis,),
+                s2=s2,
             )
         else:
             # R = X·conj(Y), PHAT whitening (per-pair max gate).

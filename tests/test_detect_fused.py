@@ -183,14 +183,24 @@ def test_pipeline_routing_equivalence():
     re = np.real(cap.iq).astype(np.float32)
     im = np.imag(cap.iq).astype(np.float32)
     anchors = np.asarray(cap.buoy_enu, np.float32)
+    from radio_mapper_tpu.ops.pallas import gcc_kernel
+
     sc_ops.set_gcc_fused("on")
     safe.set_safe_mode(True)
+    # Pin the l2 gate: with the default l2rx, the fused-on routing feeds
+    # the pair stage per-receiver gate scales (row_smax) that the
+    # fused-off routing cannot, so the GCC stages would no longer be
+    # identical tracings (the l2↔l2rx deviation has its own parity
+    # tests in test_fft_detect_fused.py).
+    prior_gate = gcc_kernel._PHAT_GATE
+    gcc_kernel.set_phat_gate("l2")
     try:
         detect_ops.set_fused_detect("on")
         out_fused = pipe.step_split(re, im, anchors)
         detect_ops.set_fused_detect("off")
         out_plain = pipe.step_split(re, im, anchors)
     finally:
+        gcc_kernel.set_phat_gate(prior_gate)
         detect_ops.set_fused_detect("auto")
         sc_ops.set_gcc_fused("auto")
         safe.set_safe_mode(None)

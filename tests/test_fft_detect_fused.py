@@ -155,6 +155,8 @@ def test_pipeline_combined_path_matches_two_stage():
     anchors = np.asarray(cap.buoy_enu, np.float32)
     sc_ops.set_gcc_fused("on")
     detect_ops.set_fused_detect("on")
+    prior_gate = gcc_kernel._PHAT_GATE
+    gcc_kernel.set_phat_gate("l2")  # pin: l2rx engages only with row_smax
     try:
         detect_ops.set_fused_fft_detect("off")
         base = pipe.step_split(jnp.asarray(re), jnp.asarray(im), jnp.asarray(anchors))
@@ -164,6 +166,7 @@ def test_pipeline_combined_path_matches_two_stage():
             jnp.asarray(re), jnp.asarray(im), jnp.asarray(anchors)
         )
     finally:
+        gcc_kernel.set_phat_gate(prior_gate)
         detect_ops.set_fused_fft_detect("auto")
         detect_ops.set_fused_detect("auto")
         sc_ops.set_gcc_fused("auto")
@@ -183,3 +186,47 @@ def test_pipeline_combined_path_matches_two_stage():
         np.asarray(comb.fix.position_enu),
         atol=1e-3,
     )
+
+
+def test_rows_kernel_s2_gate_parity():
+    """Row-aligned kernel with precomputed l2rx gate scales (s2) vs the
+    in-kernel l2 reduction: identical when s2 equals the per-pair max
+    (bound tight), close when it overestimates."""
+    rng = np.random.default_rng(9)
+    p_rows, nfft, L = 24, 2048, 100
+    mk = lambda: rng.normal(size=(p_rows, nfft)).astype(np.float32)
+    xre, xim, yre, yim = mk(), mk(), mk(), mk()
+    prior = gcc_kernel._PHAT_GATE
+    try:
+        gcc_kernel.set_phat_gate("l2")
+        base = np.asarray(gcc_kernel.gcc_rows_lag_mags(
+            xre, xim, yre, yim, max_lag=L, interpret=True
+        ))
+        gcc_kernel.set_phat_gate("l2rx")
+        # EXACT s2 (the true per-pair max) must reproduce l2 bitwise-ish
+        p2 = (xre * yre + xim * yim) ** 2 + (xim * yre - xre * yim) ** 2
+        s2_exact = jnp.asarray(p2.max(axis=-1))
+        got = np.asarray(gcc_kernel.gcc_rows_lag_mags(
+            xre, xim, yre, yim, max_lag=L, interpret=True, s2=s2_exact
+        ))
+        np.testing.assert_allclose(got, base, rtol=2e-6, atol=2e-7)
+        # the per-receiver BOUND (what callers actually pass) stays close
+        rx = (xre ** 2 + xim ** 2).max(axis=-1)
+        ry = (yre ** 2 + yim ** 2).max(axis=-1)
+        got2 = np.asarray(gcc_kernel.gcc_rows_lag_mags(
+            xre, xim, yre, yim, max_lag=L, interpret=True,
+            s2=jnp.asarray(rx * ry),
+        ))
+        # whiten floors differ only near the eps knee. INDEPENDENT noise
+        # rows are the bound's worst case (maxima at unrelated bins, the
+        # whole flat window near the knee) — measured ~0.18 relative
+        # here; correlated signal scenes sit at τ parity ≤ 0.011 samples
+        # (test_l2rx_gate_tau_parity, probe ab_r5_fuse).
+        assert np.abs(got2 - base).max() / base.max() < 0.25
+        # and without s2 the l2rx default falls back to l2 exactly
+        got3 = np.asarray(gcc_kernel.gcc_rows_lag_mags(
+            xre, xim, yre, yim, max_lag=L, interpret=True
+        ))
+        np.testing.assert_array_equal(got3, base)
+    finally:
+        gcc_kernel.set_phat_gate(prior)

@@ -110,7 +110,8 @@ def _golden_window(x, max_lag, eps, weighting="phat"):
         r = spec[i] * np.conj(spec[j])
         if weighting == "phat":
             p2 = np.abs(r) ** 2
-            if gcc_kernel._PHAT_GATE == "l2":
+            # "l2rx" without row_smax (this call path) degrades to l2
+            if gcc_kernel._PHAT_GATE in ("l2", "l2rx"):
                 r = r / np.sqrt(p2 + eps * eps * p2.max() + 1e-30)
             else:
                 mag = np.sqrt(p2)
