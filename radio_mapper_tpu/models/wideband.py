@@ -111,18 +111,8 @@ class WidebandTDOAPipeline:
             nfft = fft_ops.friendly_fft_len(c.sub_block + L)
             pad = [(0, 0), (0, nfft - c.sub_block)]
             fr, fi = fft_ops.fft_re_im(jnp.pad(cre, pad), jnp.pad(cim, pad))
-        # One-hot matmul pair gather (X row k pairs Y row k) — the proven
-        # fast gather on this runtime. Precision is per-weighting: PHAT
-        # runs it single-pass bf16 (phase-only consumer, ~6× less MXU
-        # work than HIGHEST — sc_ops.gcc_gather_precision, probed r5);
-        # "cc" keeps HIGHEST so f32 spectra pass through exactly.
         from radio_mapper_tpu.ops import safe
 
-        gp = sc_ops.gcc_gather_precision(c.weighting)
-        xfr = safe.pair_select(fr, self.pair_i, axis=-2, precision=gp)
-        xfi = safe.pair_select(fi, self.pair_i, axis=-2, precision=gp)
-        yfr = safe.pair_select(fr, self.pair_j, axis=-2, precision=gp)
-        yfi = safe.pair_select(fi, self.pair_j, axis=-2, precision=gp)
         if self._use_fused:
             from radio_mapper_tpu.ops.pallas import gcc_kernel
 
@@ -136,10 +126,35 @@ class WidebandTDOAPipeline:
                     safe.pair_select(rmax[None, :], self.pair_i, axis=-1)
                     * safe.pair_select(rmax[None, :], self.pair_j, axis=-1)
                 )[0]
+            if gcc_kernel.onehot_pairs_enabled(c.num_buoys, nfft):
+                # Gather IN-kernel: all B receiver spectra stay resident
+                # per grid cell and two tiny one-hot MXU dots select the
+                # chunk's pair rows — the 4 × [P, nfft] gathered arrays
+                # (2 × ~10.6 GB of HBM traffic per config-4 block,
+                # ab_r5_wideband.log) never exist.
+                gname = (
+                    "default" if c.weighting == "phat" else None
+                )
+                return gcc_kernel.gcc_pairs_onehot_lag_mags(
+                    fr, fi, jnp.asarray(self.pair_i), jnp.asarray(self.pair_j),
+                    max_lag=L, eps=c.gcc_eps, weighting=c.weighting,
+                    s2=s2, gather_precision=gname,
+                )
+            gp = sc_ops.gcc_gather_precision(c.weighting)
+            xfr = safe.pair_select(fr, self.pair_i, axis=-2, precision=gp)
+            xfi = safe.pair_select(fi, self.pair_i, axis=-2, precision=gp)
+            yfr = safe.pair_select(fr, self.pair_j, axis=-2, precision=gp)
+            yfi = safe.pair_select(fi, self.pair_j, axis=-2, precision=gp)
             return gcc_kernel.gcc_rows_lag_mags(
                 xfr, xfi, yfr, yfi,
                 max_lag=L, eps=c.gcc_eps, weighting=c.weighting, s2=s2,
             )
+        # XLA fallback pair gather (HIGHEST for "cc", bf16 for PHAT)
+        gp = sc_ops.gcc_gather_precision(c.weighting)
+        xfr = safe.pair_select(fr, self.pair_i, axis=-2, precision=gp)
+        xfi = safe.pair_select(fi, self.pair_i, axis=-2, precision=gp)
+        yfr = safe.pair_select(fr, self.pair_j, axis=-2, precision=gp)
+        yfi = safe.pair_select(fi, self.pair_j, axis=-2, precision=gp)
         rre = xfr * yfr + xfi * yfi
         rim = xfi * yfr - xfr * yfi
         if c.weighting == "phat":
@@ -152,12 +167,18 @@ class WidebandTDOAPipeline:
         win = lambda a: jnp.concatenate([a[..., nfft - L:], a[..., : L + 1]], -1)
         return jnp.sqrt(win(ire) ** 2 + win(iim) ** 2)
 
-    def _subchannel_outputs(self, sre, sim, anchors_enu):
-        """One subchannel end-to-end: ``[B, n_sub]`` split IQ → (fix,
-        cost, lags, weights). Shared by the local scan and the sharded
-        builder (the solver runs un-jitted — callers are already traced)."""
+    def _batched_tail(self, mags, anchors_enu):
+        """Peak pick + PSR weights + LM solve, BATCHED over the leading
+        subchannel axis: ``mags [M, P, 2L+1]`` → (fixes [M, 3], cost [M],
+        lags [M, P], weights [M, P]).
+
+        r5 restructure: the r4 design ran this tail INSIDE the
+        per-subchannel `lax.scan`, serializing 16 rounds of tiny
+        argmax/refine/LM ops — measured 21.3 of the 34.8 ms block
+        (docs/probe_logs/ab_r5_wideband.log per-stage profile). Only the
+        memory-heavy pair stage needs the scan; this tail's inputs are
+        ~33 MB total, so it runs once, batched, on big ops."""
         c = self.config
-        mags = self._pair_stage(sre, sim)
         pk = gcc_ops.peaks_from_lag_mags(
             mags, sample_rate_hz=c.sub_rate_hz, max_lag=c.max_lag
         )
@@ -165,8 +186,11 @@ class WidebandTDOAPipeline:
             (pk.psr - c.psr_floor) / c.psr_scale, 0.0, 1.0
         ) + 1e-3
         dd = solver.tau_to_distance_difference(pk.tau_s)
+        anchors_b = jnp.broadcast_to(
+            anchors_enu, (*mags.shape[:-2], *anchors_enu.shape)
+        )
         res = solver.solve_tdoa_impl(
-            anchors_enu, self.pair_i, self.pair_j, dd, weights,
+            anchors_b, self.pair_i, self.pair_j, dd, weights,
             iterations=c.solver_iterations,
         )
         return res.position_enu, res.cost, pk.lag_samples, weights
@@ -195,10 +219,13 @@ class WidebandTDOAPipeline:
         cre = jnp.moveaxis(cre, -2, 0)  # [M, B, n_sub]
         cim = jnp.moveaxis(cim, -2, 0)
 
+        # scan ONLY the memory-heavy pair stage (one subchannel's pair
+        # spectra at a time); the tail runs batched over all M at once.
         def body(carry, xs):
-            return carry, self._subchannel_outputs(xs[0], xs[1], anchors_enu)
+            return carry, self._pair_stage(xs[0], xs[1])
 
-        _, (fixes, cost, lags, weights) = jax.lax.scan(body, 0, (cre, cim))
+        _, mags = jax.lax.scan(body, 0, (cre, cim))  # [M, P, 2L+1]
+        fixes, cost, lags, weights = self._batched_tail(mags, anchors_enu)
         return WidebandOutput(
             fixes_enu=fixes,
             cost=cost,
@@ -251,10 +278,10 @@ def build_wideband_sharded_step(mesh, config: WidebandConfig, *, axis: str = "su
     def local_scan(cre_l, cim_l, anchors):
         # cre_l/cim_l: [M/n, B, n_sub] — this shard's subchannels
         def body(carry, xs):
-            return carry, pipe._subchannel_outputs(xs[0], xs[1], anchors)
+            return carry, pipe._pair_stage(xs[0], xs[1])
 
-        _, outs = jax.lax.scan(body, 0, (cre_l, cim_l))
-        return outs
+        _, mags = jax.lax.scan(body, 0, (cre_l, cim_l))
+        return pipe._batched_tail(mags, anchors)
 
     inner = jax.shard_map(
         local_scan, mesh=mesh,

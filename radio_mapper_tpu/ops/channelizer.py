@@ -47,6 +47,24 @@ def prototype_filter(num_channels: int, taps_per_channel: int = 8, beta: float =
     return (h.reshape(t, m) * m).astype(np.float32)
 
 
+def polyphase_filter_apply(cols: jnp.ndarray, h: jnp.ndarray, num_frames: int) -> jnp.ndarray:
+    """``filtered[..., f, m] = Σ_t cols[..., f+t, m] · h[t, m]`` as T
+    shifted multiply-adds.
+
+    The framed formulation (``cols[..., idx, :]`` → ``[..., F, T, M]``
+    einsum) materializes T copies of the stream — at the config-4 shape
+    that is ~4 GB of HBM traffic and measured 4.7 ms of a 35 ms block
+    (docs/probe_logs/ab_r5_wideband.log). T strided slices of the SAME
+    buffer read ~T× less; the T-term sum order (ascending t, f32) differs
+    from the einsum's only in rounding (≤1 ulp per term).
+    """
+    t = h.shape[0]
+    acc = cols[..., 0:num_frames, :] * h[0]
+    for k in range(1, t):
+        acc = acc + cols[..., k : k + num_frames, :] * h[k]
+    return acc
+
+
 class ChannelizedStream(NamedTuple):
     channels: jnp.ndarray  # [..., M, F] complex — per-channel baseband
     channel_offset_hz: np.ndarray  # [M] static — offset of each channel center
@@ -84,13 +102,7 @@ def channelize(
 
     # [..., num_cols, M] — column-major polyphase layout.
     cols = x.reshape(*x.shape[:-1], num_cols, m)
-    # Frame: window of T consecutive columns per output sample, stride 1 col.
-    idx = np.arange(num_frames)[:, None] + np.arange(t)[None, :]  # [F, T]
-    frames = cols[..., idx, :]  # [..., F, T, M]
-    filtered = jnp.einsum(
-        "...ftm,tm->...fm", frames, h.astype(x.dtype),
-        precision=jax.lax.Precision.HIGHEST,
-    )
+    filtered = polyphase_filter_apply(cols, h.astype(x.dtype), num_frames)
 
     # Branch FFT; channel c of the FFT corresponds to offset c·fs/M (aliased).
     ch = fft_ops.fft(filtered, axis=-1)  # [..., F, M]

@@ -583,3 +583,214 @@ def gcc_rows_lag_mags(
         [oneg[..., nneg * n1 - max_lag :], opos[..., : max_lag + 1]], axis=-1
     ).reshape(p_pad, 2 * max_lag + 1)
     return window[:p]
+
+
+# ------------------------------------------------ in-kernel one-hot gather
+#
+# The row-aligned EP/wideband path materializes the gathered pair spectra
+# in HBM: 4 × [P, nfft] f32 (X/Y re/im) written by the one-hot matmul and
+# immediately re-read by the rows kernel — 2 × ~10.6 GB of traffic per
+# config-4 block, measured as the largest pair-stage cost
+# (docs/probe_logs/ab_r5_wideband.log: the gather stage alone is 8.3 ms
+# of a 35 ms block). When B is small enough that ALL receiver spectra fit
+# in VMEM (B ≤ ~128 at nfft 5120), the gather can run INSIDE the kernel:
+# per grid cell, two tiny [chunk, B] × [B, nfft] MXU dots select this
+# cell's pair rows from the resident spectra — the [P, nfft] arrays never
+# exist. One-hot blocks ride in as data, so pair tables may be traced
+# (EP's per-shard slices) or static (wideband's all-pairs).
+
+_ONEHOT_PAIRS = "auto"  # "auto" | "on" | "off" — trace-time routing knob
+
+
+def set_onehot_pairs(mode: str) -> None:
+    if mode not in ("auto", "on", "off"):
+        raise ValueError(f"unknown onehot-pairs mode {mode!r}")
+    global _ONEHOT_PAIRS
+    _ONEHOT_PAIRS = mode
+
+
+def onehot_pairs_enabled(num_receivers: int, nfft: int) -> bool:
+    """VMEM gate: the resident spectra block (2·B·nfft·4 bytes) plus one
+    chunk's workspace must stay inside the ~16 MB scoped-VMEM budget."""
+    if _ONEHOT_PAIRS == "off":
+        return False
+    if _ONEHOT_PAIRS == "on":
+        return True
+    b_pad = -(-num_receivers // 8) * 8
+    return 2 * b_pad * nfft * 4 <= 8 * 1024 * 1024
+
+
+def _gcc_onehot_kernel(
+    sre_ref, sim_ref, ohi_ref, ohj_ref,
+    w1re_ref, w1im_ref, w2negre_ref, w2negim_ref,
+    w2posre_ref, w2posim_ref, twre_ref, twim_ref,
+    *rest,
+    chunk: int,
+    n1: int,
+    n2: int,
+    eps: float,
+    whiten: bool,
+    rx_gate: bool,
+    gather_precision: Optional[str],
+):
+    """One grid cell = one pair chunk; spectra resident, gather in-VMEM."""
+    if rx_gate:
+        s2_ref, oneg_ref, opos_ref = rest
+    else:
+        oneg_ref, opos_ref = rest
+    dot = fft_kernel.kernel_dot(inverse=whiten)
+    # Gather dots: PHAT chains run single-pass bf16 (phase-only consumer,
+    # same policy as sc_ops.gcc_gather_precision); others HIGHEST so f32
+    # spectra pass through exactly (Mosaic implements DEFAULT/HIGHEST).
+    dot_g = fft_kernel.kernel_dot(override=gather_precision or "highest")
+    dn = (((1,), (0,)), ((), ()))
+
+    a_re, a_im = sre_ref[:], sim_ref[:]  # [B_pad, nfft] CT-order spectra
+    ohi, ohj = ohi_ref[:], ohj_ref[:]  # [chunk, B_pad] one-hot rows
+    xre = dot_g(ohi, a_re, dn)
+    xim = dot_g(ohi, a_im, dn)
+    yre = dot_g(ohj, a_re, dn)
+    yim = dot_g(ohj, a_im, dn)
+
+    rre = xre * yre + xim * yim
+    rim = xim * yre - xre * yim
+    if whiten:
+        if rx_gate:
+            rre, rim = _whiten(rre, rim, eps, gate="l2rx", s2=s2_ref[:, :1])
+        else:
+            gate = "l2" if _PHAT_GATE == "l2rx" else _PHAT_GATE
+            rre, rim = _whiten(rre, rim, eps, gate=gate)
+
+    _invert_to_lag_windows(
+        rre, rim, w1re_ref, w1im_ref, w2negre_ref, w2negim_ref,
+        w2posre_ref, w2posim_ref, twre_ref, twim_ref, oneg_ref, opos_ref,
+        m=chunk, n1=n1, n2=n2, dot=dot,
+    )
+
+
+def gcc_pairs_onehot_lag_mags(
+    spec_re: jnp.ndarray,
+    spec_im: jnp.ndarray,
+    pair_i: jnp.ndarray,
+    pair_j: jnp.ndarray,
+    *,
+    max_lag: int,
+    eps: float = 0.05,
+    weighting: str = "phat",
+    pair_chunk: Optional[int] = None,
+    interpret: Optional[bool] = None,
+    vma=None,
+    s2: Optional[jnp.ndarray] = None,
+    gather_precision: Optional[str] = None,
+) -> jnp.ndarray:
+    """Lag windows for an arbitrary pair list with the gather IN-kernel.
+
+    Args:
+      spec_re/spec_im: ``[B, nfft]`` CT-order receiver spectra (resident
+        per grid cell — see :func:`onehot_pairs_enabled` for the VMEM
+        gate).
+      pair_i/pair_j: ``[P]`` receiver indices — static arrays OR traced
+        (they become one-hot input data, not kernel constants).
+      s2: optional ``[P]`` per-pair l2rx gate scales.
+      gather_precision: kernel-dot override for the one-hot selects
+        ('default' = single-pass bf16 — the PHAT policy; None → HIGHEST).
+    Returns:
+      ``[P, 2·max_lag+1]`` float32 |r| at lags −max_lag..+max_lag.
+    """
+    if weighting not in WEIGHTINGS:
+        raise ValueError(f"fused GCC supports {WEIGHTINGS}, not {weighting!r}")
+    if pair_chunk is None:
+        pair_chunk = DEFAULT_PAIR_CHUNK
+    rx_gate = _PHAT_GATE == "l2rx" and s2 is not None and weighting == "phat"
+    nfft = spec_re.shape[-1]
+    b = spec_re.shape[-2]
+    p = pair_i.shape[0]
+    n1, n2, w1re, w1im, w2re, w2im, twre, twim = fft_kernel.ct_constants(
+        nfft, inverse=True
+    )
+    if max_lag >= nfft // 2:
+        raise ValueError(f"max_lag {max_lag} too large for nfft {nfft}")
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+
+    nneg = -(-max_lag // n1)
+    npos = max_lag // n1 + 1
+
+    chunk = max(8, -(-pair_chunk // 8) * 8)
+    p_pad = -(-p // chunk) * chunk
+    b_pad = -(-b // 8) * 8
+
+    sre = spec_re.astype(jnp.float32)
+    sim = spec_im.astype(jnp.float32)
+    if b_pad != b:
+        padw = ((0, b_pad - b), (0, 0))
+        sre, sim = jnp.pad(sre, padw), jnp.pad(sim, padw)
+
+    # One-hot pair rows (padding rows select receiver 0 — sliced off).
+    pi = jnp.asarray(pair_i, jnp.int32)
+    pj = jnp.asarray(pair_j, jnp.int32)
+    if p_pad != p:
+        pi = jnp.concatenate([pi, jnp.zeros(p_pad - p, jnp.int32)])
+        pj = jnp.concatenate([pj, jnp.zeros(p_pad - p, jnp.int32)])
+    rng_b = jnp.arange(b_pad, dtype=jnp.int32)
+    ohi = (pi[:, None] == rng_b[None, :]).astype(jnp.float32)
+    ohj = (pj[:, None] == rng_b[None, :]).astype(jnp.float32)
+
+    s2_in = None
+    if rx_gate:
+        s2v = s2.astype(jnp.float32)
+        if p_pad != p:
+            s2v = jnp.pad(s2v, (0, p_pad - p), constant_values=1.0)
+        s2_in = jnp.broadcast_to(
+            s2v.reshape(p_pad, 1), (p_pad, 128)
+        ) * jnp.float32(1.0)
+
+    spec_spec = pl.BlockSpec(
+        (b_pad, nfft), lambda i: (0, 0), memory_space=pltpu.VMEM
+    )
+    oh_spec = pl.BlockSpec(
+        (chunk, b_pad), lambda i: (i, 0), memory_space=pltpu.VMEM
+    )
+    s2_spec = pl.BlockSpec((chunk, 128), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    w2negre, w2negim, w2posre, w2posim, nneg_p, npos_p = _w2_window_rows(
+        w2re, w2im, n2, nneg, npos
+    )
+    const_arrays = (w1re, w1im, w2negre, w2negim, w2posre, w2posim, twre, twim)
+    const_specs = [
+        pl.BlockSpec(a.shape, lambda i: (0, 0), memory_space=pltpu.VMEM)
+        for a in const_arrays
+    ]
+    consts = tuple(fft_kernel._lift(a, vma) for a in const_arrays)
+
+    kernel = functools.partial(
+        _gcc_onehot_kernel,
+        chunk=chunk, n1=n1, n2=n2, eps=eps,
+        whiten=(weighting == "phat"), rx_gate=rx_gate,
+        gather_precision=gather_precision,
+    )
+    groups = p_pad // chunk
+    out_spec = lambda rows: pl.BlockSpec(
+        (rows, chunk * n1), lambda i: (i, 0), memory_space=pltpu.VMEM
+    )
+    in_specs = [spec_spec, spec_spec, oh_spec, oh_spec] + const_specs
+    args = (sre, sim, ohi, ohj, *consts)
+    if rx_gate:
+        in_specs = in_specs + [s2_spec]
+        args = args + (s2_in,)
+    oneg, opos = pl.pallas_call(
+        kernel,
+        grid=(groups,),
+        in_specs=in_specs,
+        out_specs=[out_spec(nneg_p), out_spec(npos_p)],
+        out_shape=[
+            fft_kernel._sds((groups * nneg_p, chunk * n1), jnp.float32, vma),
+            fft_kernel._sds((groups * npos_p, chunk * n1), jnp.float32, vma),
+        ],
+        interpret=interpret,
+    )(*args)
+    oneg = _window_rows_to_pair_major(oneg, groups, nneg_p, nneg, chunk, n1)
+    opos = _window_rows_to_pair_major(opos, groups, npos_p, npos, chunk, n1)
+    window = jnp.concatenate(
+        [oneg[..., nneg * n1 - max_lag :], opos[..., : max_lag + 1]], axis=-1
+    ).reshape(p_pad, 2 * max_lag + 1)
+    return window[:p]

@@ -492,15 +492,13 @@ def channelize_split(
     if num_frames <= 0:
         raise ValueError(f"need at least {m * t} samples, got {n}")
     h = jnp.asarray(pfb.prototype_filter(m, t))
-    idx = np.arange(num_frames)[:, None] + np.arange(t)[None, :]
 
     def filter_part(x):
         cols = x.reshape(*x.shape[:-1], num_cols, m)
-        frames = cols[..., idx, :]
-        return jnp.einsum(
-            "...ftm,tm->...fm", frames, h,
-            precision=jax.lax.Precision.HIGHEST,
-        )
+        # T shifted multiply-adds — no [F, T, M] frame materialization
+        # (~4 GB of HBM traffic at the config-4 shape; see
+        # pfb.polyphase_filter_apply).
+        return pfb.polyphase_filter_apply(cols, h, num_frames)
 
     fre, fim = filter_part(re), filter_part(im)
     cre, cim = fft_ops.fft_re_im(fre, fim)  # branch FFT over M

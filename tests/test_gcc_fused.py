@@ -276,3 +276,52 @@ def test_l2_phat_gate_tau_parity():
         np.asarray(outs["l1"].lag_samples) - np.asarray(outs["l2"].lag_samples)
     ).max()
     assert d < 0.05, d  # sub-sample refine stays within the 0.1-sample budget
+
+
+def test_onehot_pairs_kernel_matches_rows_kernel():
+    """In-kernel one-hot gather (spectra resident, no [P, nfft]
+    materialization) vs explicit gather + rows kernel: same windows at
+    HIGHEST gather precision, traced OR static pair indices."""
+    n, b, max_lag = 2048, 12, 100
+    rng = np.random.default_rng(7)
+    x = rng.normal(size=(b, n)) + 1j * rng.normal(size=(b, n))
+    fr, fi = fft_kernel.fft_rows_ct(
+        jnp.asarray(x.real, jnp.float32), jnp.asarray(x.imag, jnp.float32),
+        interpret=True,
+    )
+    i_idx, j_idx = pair_indices(b)  # P = 66 → chunks of 32, 32, 8(pad)
+    gather = lambda a, k: jnp.take(a, jnp.asarray(k), axis=-2)
+    want = np.asarray(gcc_kernel.gcc_rows_lag_mags(
+        gather(fr, i_idx), gather(fi, i_idx),
+        gather(fr, j_idx), gather(fi, j_idx),
+        max_lag=max_lag, interpret=True,
+    ))
+    got = np.asarray(gcc_kernel.gcc_pairs_onehot_lag_mags(
+        fr, fi, jnp.asarray(i_idx), jnp.asarray(j_idx),
+        max_lag=max_lag, interpret=True,
+    ))
+    assert got.shape == want.shape == (66, 2 * max_lag + 1)
+    np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-6)
+    # traced indices (the EP case) — same result under jit
+    import jax
+
+    got_traced = np.asarray(jax.jit(
+        lambda a, bb, ii, jj: gcc_kernel.gcc_pairs_onehot_lag_mags(
+            a, bb, ii, jj, max_lag=max_lag, interpret=True
+        )
+    )(fr, fi, jnp.asarray(i_idx), jnp.asarray(j_idx)))
+    np.testing.assert_allclose(got_traced, got, rtol=1e-6, atol=1e-7)
+    # s2-gated variant stays close to the reduction form
+    rmax = np.asarray(fr) ** 2 + np.asarray(fi) ** 2
+    rmax = rmax.max(axis=-1)
+    s2 = jnp.asarray(rmax[i_idx] * rmax[j_idx])
+    prior = gcc_kernel._PHAT_GATE
+    try:
+        gcc_kernel.set_phat_gate("l2rx")
+        got_s2 = np.asarray(gcc_kernel.gcc_pairs_onehot_lag_mags(
+            fr, fi, jnp.asarray(i_idx), jnp.asarray(j_idx),
+            max_lag=max_lag, interpret=True, s2=s2,
+        ))
+    finally:
+        gcc_kernel.set_phat_gate(prior)
+    assert np.abs(got_s2 - want).max() / want.max() < 0.25

@@ -109,14 +109,15 @@ def test_wideband_sharded_over_subchannels():
     # tight equality on the ACTIVE subchannel's fix and every weight;
     # quiet subchannels solve pure noise (fixes at ~6e5 m) where f32
     # op-ordering differences between the two programs legitimately move
-    # the meaningless solution by ~1e-3 relative
+    # the meaningless solution by ~1e-2 relative (the r5 batched tail
+    # shifted fusion order; observed max 8.7e-3 on one noise fix)
     np.testing.assert_allclose(
         np.asarray(out.fixes_enu)[sub], np.asarray(ref.fixes_enu)[sub],
         rtol=0, atol=1.0,
     )
     np.testing.assert_allclose(
         np.asarray(out.fixes_enu), np.asarray(ref.fixes_enu),
-        rtol=5e-3, atol=1.0,
+        rtol=2e-2, atol=1.0,
     )
     np.testing.assert_allclose(
         np.asarray(out.weights), np.asarray(ref.weights), rtol=0, atol=1e-4
