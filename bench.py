@@ -363,23 +363,39 @@ def run_ep_microbench(
     return len(pi) / dt
 
 
-def run_wideband_bench(*, iters: int = 10):
+def run_wideband_bench(*, iters: int = 10, scan_blocks: int = 4):
     """BASELINE config 4 for real: 64 buoys × 10 MS/s wideband → 16-way
     polyphase channelizer → per-subchannel all-pairs GCC-PHAT (2016
     pairs) → LM solve, one chip, one jitted program (VERDICT r3 item 3).
+    ``scan_blocks`` folds K blocks per dispatch (same amortization as the
+    flagship; A/B'd r5: 11.4 → 9.1 ms/block, ab_r5_wideband2.log).
     Returns (ms_per_block, wide_samples_per_s, pairs_per_s)."""
     import jax
+    import jax.numpy as jnp
 
     from radio_mapper_tpu.models.wideband import WidebandConfig, WidebandTDOAPipeline
 
     cfg = WidebandConfig()
     pipe = WidebandTDOAPipeline(cfg)
-    args = jax.device_put(pipe.example_inputs(seed=0))
-    step = pipe.jit_step_split()
+    re, im, anchors = jax.device_put(pipe.example_inputs(seed=0))
+    if scan_blocks > 1:
+        k = scan_blocks
+        tile = jax.jit(lambda a: jnp.broadcast_to(a, (k, *a.shape)) * 1.0)
+        args = (tile(re), tile(im), anchors)
+
+        @jax.jit
+        def step(rK, iK, anc):
+            return jax.lax.scan(
+                lambda c, x: (c, pipe.step_split(x[0], x[1], anc)), 0, (rK, iK)
+            )[1]
+    else:
+        k = 1
+        args = (re, im, anchors)
+        step = pipe.jit_step_split()
     t0 = time.perf_counter()
     _force(step(*args))
     _log(f"wideband config-4 compile+first {time.perf_counter()-t0:.1f}s")
-    dt = _epoch_time(step, args, iters=iters, warmup=1)
+    dt = _epoch_time(step, args, iters=iters, warmup=1) / k
     wide_rate = cfg.num_buoys * cfg.wide_block / dt
     pair_rate = cfg.num_subchannels * cfg.num_pairs / dt
     return dt * 1e3, wide_rate, pair_rate

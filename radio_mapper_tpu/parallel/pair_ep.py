@@ -167,18 +167,37 @@ def build_pair_ep_step(mesh: Mesh, config: PairEPConfig, *, axis: str = "pair"):
                     safe.pair_select(rmax[None, :], pi_l, axis=-1)
                     * safe.pair_select(rmax[None, :], pj_l, axis=-1)
                 )[0]
-            # Row-aligned kernel: pair k = X row k × conj(Y row k); the
-            # grid tiles pair rows so VMEM is bounded by the chunk size,
-            # not P_loc (the dense-gather kernel maps every row per cell
-            # and OOMs VMEM at thousands of EP pairs — probed on-chip).
-            m = gcc_kernel.gcc_rows_lag_mags(
-                xfr, xfi, yfr, yfi,
-                max_lag=L,
-                eps=cfg.gcc_eps,
-                weighting=cfg.weighting,
-                vma=(axis,),
-                s2=s2,
-            )
+            nfft_ct = fr.shape[-1]
+            if gcc_kernel.onehot_pairs_enabled(cfg.num_buoys, nfft_ct):
+                # Gather IN-kernel (r5): the whole receiver spectra block
+                # stays VMEM-resident per grid cell and the shard's
+                # (traced) pair slice selects rows by one-hot MXU dots —
+                # the 4 × [P_loc, nfft] gathered arrays never reach HBM
+                # (~330 MB/block at the 2016-pair config-4 shape).
+                m = gcc_kernel.gcc_pairs_onehot_lag_mags(
+                    fr, fi, pi_l, pj_l,
+                    max_lag=L,
+                    eps=cfg.gcc_eps,
+                    weighting=cfg.weighting,
+                    vma=(axis,),
+                    s2=s2,
+                    gather_precision=(
+                        "default" if cfg.weighting == "phat" else None
+                    ),
+                )
+            else:
+                # Row-aligned kernel: pair k = X row k × conj(Y row k);
+                # the grid tiles pair rows so VMEM is bounded by the
+                # chunk size, not P_loc (the resident-spectra forms OOM
+                # VMEM at hundreds of receivers — onehot_pairs_enabled).
+                m = gcc_kernel.gcc_rows_lag_mags(
+                    xfr, xfi, yfr, yfi,
+                    max_lag=L,
+                    eps=cfg.gcc_eps,
+                    weighting=cfg.weighting,
+                    vma=(axis,),
+                    s2=s2,
+                )
         else:
             # R = X·conj(Y), PHAT whitening (per-pair max gate).
             rre = xfr * yfr + xfi * yfi
