@@ -140,6 +140,17 @@ def build_sharded_step_split(mesh: Mesh, config: ShardedStepConfig):
     pair_j = jnp.asarray(j_idx)
     sub_rate = cfg.sample_rate_hz / cfg.num_subchannels
     history = (cfg.taps_per_channel - 1) * cfg.num_subchannels
+    # Fused Pallas pair stage on TPU meshes (r5): the unfused XLA GCC
+    # materializes [C_l, M, P, nfft] pair spectra and full-length inverse
+    # FFTs of which only ±max_lag samples are read — on-chip the fused
+    # routing took the config-5 16-ch/chip share from 13.6 ms (bare
+    # real-time) to a real margin (docs/probe_logs/ab_r5_scale2.log).
+    # Mesh-platform guard mirrors pair_ep.py: a compiled Pallas call
+    # cannot lower for virtual-CPU dryrun meshes.
+    fused_mesh = (
+        mesh.devices.flat[0].platform == "tpu"
+        or sc_ops.gcc_fused_mode() == "on"
+    )
 
     def local_step(re_l, im_l, anchors):
         re_ext = with_left_halo(re_l, "blk", history)
@@ -151,7 +162,13 @@ def build_sharded_step_split(mesh: Mesh, config: ShardedStepConfig):
         )  # [C_l, B, M, F]
         sub_re = jnp.moveaxis(ch_re, 1, 2)  # [C_l, M, B, F]
         sub_im = jnp.moveaxis(ch_im, 1, 2)
-        corr = sc_ops.gcc_phat_all_pairs_split(
+        f_len = sub_re.shape[-1]
+        gcc_fn = (
+            sc_ops.gcc_phat_all_pairs_split_fused
+            if fused_mesh and sc_ops.gcc_fused_enabled(f_len + cfg.max_lag, "phat")
+            else sc_ops.gcc_phat_all_pairs_split
+        )
+        corr = gcc_fn(
             sub_re, sub_im, sample_rate_hz=sub_rate, max_lag=cfg.max_lag
         )
         weights = jnp.clip((corr.psr - cfg.psr_floor) / cfg.psr_scale, 0.0, 1.0) + 1e-3
@@ -174,7 +191,12 @@ def build_sharded_step_split(mesh: Mesh, config: ShardedStepConfig):
         cost=P("blk", "ch"),
     )
     step = jax.jit(
-        jax.shard_map(local_step, mesh=mesh, in_specs=in_specs, out_specs=out_specs)
+        jax.shard_map(
+            local_step, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
+            # the fused Pallas pair stage declares no vma annotations;
+            # CPU meshes (tests/dryruns) keep the static checker
+            check_vma=not fused_mesh,
+        )
     )
     in_shardings = tuple(NamedSharding(mesh, sp) for sp in in_specs)
     return step, in_shardings
