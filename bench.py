@@ -570,14 +570,17 @@ def main():
     scan_k = int(os.environ.get("BENCH_SCAN_BLOCKS", "32"))
     best = {"rate": 0.0}
     for ch in (64, 128, 256):
+        # 256 ch × scan-32 input stacks are ~8.6 GB of f32 planes —
+        # uncomfortably near the 16 GB HBM with workspace; cap at 16.
+        ch_scan = min(scan_k, 16) if ch >= 256 else scan_k
         try:
             path, step, args, flops = build_pipeline_step(
-                num_channels=ch, scan_blocks=scan_k
+                num_channels=ch, scan_blocks=ch_scan
             )
         except Exception as e:
             _log(f"bench channels={ch} failed entirely: {e}")
             continue
-        samples = scan_k * ch * 8 * 16_384
+        samples = ch_scan * ch * 8 * 16_384
         epochs = []
         for epoch in range(5):
             # warmup=3 on the first epoch: compile + service warm-up
@@ -585,7 +588,7 @@ def main():
             step_s = _epoch_time(
                 step, args, iters=15, warmup=3 if epoch == 0 else 1
             )
-            epochs.append((samples / step_s, step_s / scan_k))
+            epochs.append((samples / step_s, step_s / ch_scan))
         epochs.sort()
         spread = (epochs[-1][0] - epochs[0][0]) / epochs[len(epochs) // 2][0]
         # tunnel-state guard: drop epochs >2× slower than the best
@@ -593,7 +596,7 @@ def main():
         rate, blk_s = kept[len(kept) // 2]
         rate_best = epochs[-1][0]
         _log(
-            f"channels={ch} x{scan_k}blk: epoch spread {spread*100:.1f}%, "
+            f"channels={ch} x{ch_scan}blk: epoch spread {spread*100:.1f}%, "
             f"kept {len(kept)}/{len(epochs)}"
         )
         _log(

@@ -104,6 +104,11 @@ class TDOAPipeline:
         i_idx, j_idx = gcc_ops.pair_indices(config.num_buoys)
         self.pair_i = jnp.asarray(i_idx)
         self.pair_j = jnp.asarray(j_idx)
+        # STATIC numpy copies for kernels that bake the pair table into
+        # the program (a closed-over jnp array turns into a tracer under
+        # lax.scan closure lifting, breaking the static register gather)
+        self._pair_i_np = np.asarray(i_idx)
+        self._pair_j_np = np.asarray(j_idx)
 
     # -- stages ---------------------------------------------------------
 
@@ -259,6 +264,58 @@ class TDOAPipeline:
                 min_distance_bins=constants.DEFAULT_PEAK_MIN_DISTANCE_BINS,
                 noise_floor_stride=c.noise_floor_stride,
             )
+            from radio_mapper_tpu.ops.pallas import channel_kernel
+
+            mega = combined and channel_kernel.supported(
+                nfft_ct, c.num_buoys,
+                min_distance_bins=constants.DEFAULT_PEAK_MIN_DISTANCE_BINS,
+                noise_floor_stride=c.noise_floor_stride,
+                weighting=c.weighting,
+            )
+            if mega:
+                # The whole channel — forward FFT, detection, pair stage
+                # — runs as ONE kernel; spectra never reach HBM
+                # (ops/pallas/channel_kernel.py).
+                nfft_m, partials, window = sc_ops.flagship_channel_step(
+                    re, im, self._pair_i_np, self._pair_j_np,
+                    max_lag=c.max_lag, eps=c.gcc_eps,
+                    sample_rate_hz=c.sample_rate_hz,
+                    threshold_db=c.detection_threshold_db,
+                    min_distance_bins=constants.DEFAULT_PEAK_MIN_DISTANCE_BINS,
+                    dc_notch_hz=constants.DEFAULT_DC_NOTCH_HZ,
+                    confidence_floor=constants.DEFAULT_CONFIDENCE_FLOOR,
+                    snr_fullscale_db=constants.DEFAULT_SNR_FULLSCALE_DB,
+                    power_offset_db=c.power_offset_db,
+                )
+                peaks = detect_ops.peaks_from_ct_partials(
+                    *partials,
+                    nfft=nfft_m,
+                    sample_rate_hz=c.sample_rate_hz,
+                    max_peaks=c.max_peaks,
+                    power_offset_db=c.power_offset_db,
+                )
+                pk = gcc_ops.peaks_from_lag_mags(
+                    window, sample_rate_hz=c.sample_rate_hz,
+                    max_lag=c.max_lag,
+                )
+                corr = gcc_ops.CorrelationPeak(
+                    lag_samples=pk.lag_samples,
+                    tau_s=pk.tau_s,
+                    peak_value=pk.peak_value,
+                    psr=pk.psr,
+                )
+                weights = self.pair_weights(peaks, corr)
+                fix = self.solve(anchors_enu, corr, weights)
+                buoy_conf = jnp.max(
+                    jnp.where(peaks.valid, peaks.confidence, 0.0), axis=-1
+                )
+                return PipelineOutput(
+                    peaks=peaks,
+                    correlation=corr,
+                    pair_weights=weights,
+                    fix=fix,
+                    buoy_confidence=buoy_conf,
+                )
             if combined:
                 ct_spectra, partials, row_smax = (
                     sc_ops.receiver_spectra_ct_detect(

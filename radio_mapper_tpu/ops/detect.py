@@ -304,6 +304,39 @@ def detect_peaks_ct(
             vma=vma,
             emit_topk=max_peaks if kernel_topk else 0,
         )
+    return peaks_from_ct_partials(
+        score, seg_arg, noise_floor,
+        nfft=nfft,
+        sample_rate_hz=sample_rate_hz,
+        max_peaks=max_peaks,
+        snr_fullscale_db=snr_fullscale_db,
+        power_offset_db=power_offset_db,
+        kernel_topk=kernel_topk,
+    )
+
+
+def peaks_from_ct_partials(
+    score: jnp.ndarray,
+    seg_arg: jnp.ndarray,
+    noise_floor: jnp.ndarray,
+    *,
+    nfft: int,
+    sample_rate_hz: float,
+    max_peaks: int = 8,
+    snr_fullscale_db: float = constants.DEFAULT_SNR_FULLSCALE_DB,
+    power_offset_db: float = 0.0,
+    kernel_topk: bool = False,
+) -> PeakSet:
+    """XLA top-K tail over kernel-emitted detection partials.
+
+    Shared by every fused detect routing (standalone detect kernel,
+    combined FFT+detect kernel, flagship megakernel) — the partials
+    already encode every gate; this selects the K winners and converts
+    only those to dB/frequency/confidence.
+    """
+    from radio_mapper_tpu.ops.pallas import detect_kernel, fft_kernel
+
+    n1, n2 = fft_kernel.ct_split(nfft)
     if kernel_topk:
         # selection finished in-kernel: unpack 8·f + off (exact f32)
         top_vals = score

@@ -391,6 +391,51 @@ def receiver_spectra_ct_detect(
     return (fr, fi, nfft), (score, arg, nf), rmax
 
 
+def flagship_channel_step(
+    sig_re: jnp.ndarray,
+    sig_im: jnp.ndarray,
+    pair_i,
+    pair_j,
+    *,
+    max_lag: int,
+    eps: float,
+    sample_rate_hz: float,
+    threshold_db: float,
+    min_distance_bins: int,
+    dc_notch_hz,
+    confidence_floor: float,
+    snr_fullscale_db: float,
+    power_offset_db: float = 0.0,
+    vma=None,
+):
+    """Megakernel wrapper: pad → FFT×detect×GCC in ONE kernel per channel.
+
+    Returns ``(nfft, (seg_score, seg_arg, noise_floor_db), lag_mags)`` —
+    spectra never reach HBM (see ops/pallas/channel_kernel.py).
+    """
+    from radio_mapper_tpu.ops.pallas import channel_kernel, gcc_kernel
+
+    n = sig_re.shape[-1]
+    if max_lag >= n:
+        raise ValueError(f"max_lag {max_lag} must be < block length {n}")
+    nfft = gcc_kernel.plan_nfft(n + max_lag)
+    pad = lambda a: jnp.pad(a, [(0, 0)] * (a.ndim - 1) + [(0, nfft - n)])
+    score, arg, nf, window = channel_kernel.channel_step_partials(
+        pad(sig_re), pad(sig_im), pair_i, pair_j,
+        max_lag=max_lag, eps=eps,
+        sample_rate_hz=sample_rate_hz,
+        threshold_db=threshold_db,
+        min_distance_bins=min_distance_bins,
+        dc_notch_hz=dc_notch_hz,
+        confidence_floor=confidence_floor,
+        snr_fullscale_db=snr_fullscale_db,
+        power_offset_db=power_offset_db,
+        fwd_precision=gcc_forward_precision("phat"),
+        vma=vma,
+    )
+    return nfft, (score, arg, nf), window
+
+
 def ct_power_db(fr: jnp.ndarray, fi: jnp.ndarray) -> jnp.ndarray:
     """Natural-bin-order power spectrum (dB) from CT-order split spectra.
 
