@@ -173,6 +173,41 @@ class TDOAPipeline:
             iterations=c.solver_iterations,
         )
 
+    def _finish(self, peaks, corr_fields, anchors_enu) -> PipelineOutput:
+        """Shared tail of every routing: weights → solve → output."""
+        corr = gcc_ops.CorrelationPeak(
+            lag_samples=corr_fields.lag_samples,
+            tau_s=corr_fields.tau_s,
+            peak_value=corr_fields.peak_value,
+            psr=corr_fields.psr,
+        )
+        weights = self.pair_weights(peaks, corr)
+        fix = self.solve(anchors_enu, corr, weights)
+        buoy_conf = jnp.max(
+            jnp.where(peaks.valid, peaks.confidence, 0.0), axis=-1
+        )
+        return PipelineOutput(
+            peaks=peaks,
+            correlation=corr,
+            pair_weights=weights,
+            fix=fix,
+            buoy_confidence=buoy_conf,
+        )
+
+    def _full_detect_kwargs(self) -> dict:
+        """The complete detection-parameter bundle (config + reference
+        constants) the fused kernels need spelled out explicitly."""
+        c = self.config
+        return dict(
+            sample_rate_hz=c.sample_rate_hz,
+            threshold_db=c.detection_threshold_db,
+            min_distance_bins=constants.DEFAULT_PEAK_MIN_DISTANCE_BINS,
+            dc_notch_hz=constants.DEFAULT_DC_NOTCH_HZ,
+            confidence_floor=constants.DEFAULT_CONFIDENCE_FLOOR,
+            snr_fullscale_db=constants.DEFAULT_SNR_FULLSCALE_DB,
+            power_offset_db=c.power_offset_db,
+        )
+
     # -- full steps -----------------------------------------------------
 
     def step(self, iq: jnp.ndarray, anchors_enu: jnp.ndarray) -> PipelineOutput:
@@ -279,13 +314,7 @@ class TDOAPipeline:
                 nfft_m, partials, window = sc_ops.flagship_channel_step(
                     re, im, self._pair_i_np, self._pair_j_np,
                     max_lag=c.max_lag, eps=c.gcc_eps,
-                    sample_rate_hz=c.sample_rate_hz,
-                    threshold_db=c.detection_threshold_db,
-                    min_distance_bins=constants.DEFAULT_PEAK_MIN_DISTANCE_BINS,
-                    dc_notch_hz=constants.DEFAULT_DC_NOTCH_HZ,
-                    confidence_floor=constants.DEFAULT_CONFIDENCE_FLOOR,
-                    snr_fullscale_db=constants.DEFAULT_SNR_FULLSCALE_DB,
-                    power_offset_db=c.power_offset_db,
+                    **self._full_detect_kwargs(),
                 )
                 peaks = detect_ops.peaks_from_ct_partials(
                     *partials,
@@ -298,35 +327,12 @@ class TDOAPipeline:
                     window, sample_rate_hz=c.sample_rate_hz,
                     max_lag=c.max_lag,
                 )
-                corr = gcc_ops.CorrelationPeak(
-                    lag_samples=pk.lag_samples,
-                    tau_s=pk.tau_s,
-                    peak_value=pk.peak_value,
-                    psr=pk.psr,
-                )
-                weights = self.pair_weights(peaks, corr)
-                fix = self.solve(anchors_enu, corr, weights)
-                buoy_conf = jnp.max(
-                    jnp.where(peaks.valid, peaks.confidence, 0.0), axis=-1
-                )
-                return PipelineOutput(
-                    peaks=peaks,
-                    correlation=corr,
-                    pair_weights=weights,
-                    fix=fix,
-                    buoy_confidence=buoy_conf,
-                )
+                return self._finish(peaks, pk, anchors_enu)
             if combined:
                 ct_spectra, partials, row_smax = (
                     sc_ops.receiver_spectra_ct_detect(
                         re, im, max_lag=c.max_lag,
-                        sample_rate_hz=c.sample_rate_hz,
-                        threshold_db=c.detection_threshold_db,
-                        min_distance_bins=constants.DEFAULT_PEAK_MIN_DISTANCE_BINS,
-                        dc_notch_hz=constants.DEFAULT_DC_NOTCH_HZ,
-                        confidence_floor=constants.DEFAULT_CONFIDENCE_FLOOR,
-                        snr_fullscale_db=constants.DEFAULT_SNR_FULLSCALE_DB,
-                        power_offset_db=c.power_offset_db,
+                        **self._full_detect_kwargs(),
                         precision=sc_ops.gcc_forward_precision(c.weighting),
                     )
                 )
@@ -401,22 +407,7 @@ class TDOAPipeline:
                 eps=c.gcc_eps,
                 spectra=spectra,
             )
-        corr = gcc_ops.CorrelationPeak(
-            lag_samples=corr_sc.lag_samples,
-            tau_s=corr_sc.tau_s,
-            peak_value=corr_sc.peak_value,
-            psr=corr_sc.psr,
-        )
-        weights = self.pair_weights(peaks, corr)
-        fix = self.solve(anchors_enu, corr, weights)
-        buoy_conf = jnp.max(jnp.where(peaks.valid, peaks.confidence, 0.0), axis=-1)
-        return PipelineOutput(
-            peaks=peaks,
-            correlation=corr,
-            pair_weights=weights,
-            fix=fix,
-            buoy_confidence=buoy_conf,
-        )
+        return self._finish(peaks, corr_sc, anchors_enu)
 
     def _step_split_multidwell(
         self, re: jnp.ndarray, im: jnp.ndarray, anchors_enu: jnp.ndarray
@@ -459,22 +450,7 @@ class TDOAPipeline:
             weighting=c.weighting,
             eps=c.gcc_eps,
         )
-        corr = gcc_ops.CorrelationPeak(
-            lag_samples=corr_sc.lag_samples,
-            tau_s=corr_sc.tau_s,
-            peak_value=corr_sc.peak_value,
-            psr=corr_sc.psr,
-        )
-        weights = self.pair_weights(peaks, corr)
-        fix = self.solve(anchors_enu, corr, weights)
-        buoy_conf = jnp.max(jnp.where(peaks.valid, peaks.confidence, 0.0), axis=-1)
-        return PipelineOutput(
-            peaks=peaks,
-            correlation=corr,
-            pair_weights=weights,
-            fix=fix,
-            buoy_confidence=buoy_conf,
-        )
+        return self._finish(peaks, corr_sc, anchors_enu)
 
     def step_split_uint8(
         self, raw: jnp.ndarray, anchors_enu: jnp.ndarray
