@@ -131,6 +131,38 @@ def _whiten(rre, rim, eps, gate=None, s2=None):
     return rre * inv, rim * inv
 
 
+# How the dense pair kernel forms per-pair X/Y rows from the resident
+# spectra. "concat": 2·P keepdim [1, nfft] slice-products concatenated —
+# single-sublane values Mosaic lays out masked (1/8 VPU utilization).
+# "onehot" (DEFAULT since r5): two [m, B]×[B, nfft] MXU dots with
+# CONSTANT one-hot matrices (pairs are static) produce dense
+# full-sublane X/Y blocks, then one dense elementwise cross-power.
+# On-chip A/B (docs/probe_logs/ab_r5_gather.log): full step 5.30 → 5.04
+# ms/block at 128 ch × scan-16 — confirming the masked-layout cost of
+# the [1, nfft] slices. PHAT runs the one-hot dots single-pass bf16
+# (phase consumer); "cc" keeps HIGHEST (exact pass-through).
+_PAIR_GATHER = "onehot"
+
+
+def set_pair_gather(mode: str) -> None:
+    if mode not in ("concat", "onehot"):
+        raise ValueError(f"unknown pair gather {mode!r}")
+    global _PAIR_GATHER
+    _PAIR_GATHER = mode
+
+
+def _pair_onehots(pairs, b: int):
+    """Constant one-hot row-selector matrices [m, b] for a static pair
+    chunk (i-rows and j-rows)."""
+    m = len(pairs)
+    ohi = np.zeros((m, b), np.float32)
+    ohj = np.zeros((m, b), np.float32)
+    for k, (i, j) in enumerate(pairs):
+        ohi[k, i] = 1.0
+        ohj[k, j] = 1.0
+    return ohi, ohj
+
+
 def _gcc_pairs_kernel(
     sre_ref, sim_ref,
     w1re_ref, w1im_ref, w2negre_ref, w2negim_ref,
@@ -142,6 +174,8 @@ def _gcc_pairs_kernel(
     eps: float,
     whiten: bool,
     gate: str = "l2",
+    gather: str = "concat",
+    gather_precision: Optional[str] = None,
 ):
     """One grid cell = one channel × one static pair chunk.
 
@@ -151,8 +185,15 @@ def _gcc_pairs_kernel(
     check failure), so rows are sliced keepdim and outputs are 2-D.
 
     ``gate == "l2rx"`` adds a ``smax_ref`` input ([B, 128] per-receiver
-    max linear power, lane-broadcast) ahead of the output refs.
+    max linear power, lane-broadcast) ahead of the output refs; with
+    ``gather == "onehot"`` two constant one-hot refs precede that (see
+    `_PAIR_GATHER`).
     """
+    rest = list(rest)
+    ohi_ref = ohj_ref = None
+    if gather == "onehot":
+        ohi_ref, ohj_ref = rest[0], rest[1]
+        rest = rest[2:]
     if gate == "l2rx":
         smax_ref, oneg_ref, opos_ref = rest
     else:
@@ -166,35 +207,54 @@ def _gcc_pairs_kernel(
     a_re = sre_ref[:]  # [B, nfft] CT-order spectra
     a_im = sim_ref[:]
 
-    # Static register gather (keepdim slices → 2-D concat, not stack):
-    # cross-power R = X_i · conj(Y_j) per pair, [m, nfft].
-    row = lambda a, k: a[k : k + 1, :]
-    rre = jnp.concatenate(
-        [
-            row(a_re, i) * row(a_re, j) + row(a_im, i) * row(a_im, j)
-            for i, j in pairs
-        ],
-        axis=0,
-    )
-    rim = jnp.concatenate(
-        [
-            row(a_im, i) * row(a_re, j) - row(a_re, i) * row(a_im, j)
-            for i, j in pairs
-        ],
-        axis=0,
-    )
+    if gather == "onehot":
+        dot_g = fft_kernel.kernel_dot(override=gather_precision or "highest")
+        dn = (((1,), (0,)), ((), ()))
+        ohi, ohj = ohi_ref[:], ohj_ref[:]
+        xre = dot_g(ohi, a_re, dn)
+        xim = dot_g(ohi, a_im, dn)
+        yre = dot_g(ohj, a_re, dn)
+        yim = dot_g(ohj, a_im, dn)
+        rre = xre * yre + xim * yim
+        rim = xim * yre - xre * yim
+    else:
+        # Static register gather (keepdim slices → 2-D concat, not
+        # stack): cross-power R = X_i · conj(Y_j) per pair, [m, nfft].
+        row = lambda a, k: a[k : k + 1, :]
+        rre = jnp.concatenate(
+            [
+                row(a_re, i) * row(a_re, j) + row(a_im, i) * row(a_im, j)
+                for i, j in pairs
+            ],
+            axis=0,
+        )
+        rim = jnp.concatenate(
+            [
+                row(a_im, i) * row(a_re, j) - row(a_re, i) * row(a_im, j)
+                for i, j in pairs
+            ],
+            axis=0,
+        )
 
     if whiten:
         s2 = None
         if gate == "l2rx":
             smax = smax_ref[:]  # [B, 128] lane-broadcast per-receiver max
-            s2 = jnp.concatenate(
-                [
-                    smax[i : i + 1, :1] * smax[j : j + 1, :1]
-                    for i, j in pairs
-                ],
-                axis=0,
-            )  # [m, 1] — max|X_i|²·max|Y_j|² ≥ max|R_ij|²
+            if gather == "onehot":
+                dn = (((1,), (0,)), ((), ()))
+                # dense [m, 128] products of the selected rows' maxima
+                s2 = (
+                    fft_kernel.kernel_dot(override="highest")(ohi_ref[:], smax, dn)
+                    * fft_kernel.kernel_dot(override="highest")(ohj_ref[:], smax, dn)
+                )[:, :1]
+            else:
+                s2 = jnp.concatenate(
+                    [
+                        smax[i : i + 1, :1] * smax[j : j + 1, :1]
+                        for i, j in pairs
+                    ],
+                    axis=0,
+                )  # [m, 1] — max|X_i|²·max|Y_j|² ≥ max|R_ij|²
         rre, rim = _whiten(rre, rim, eps, gate=gate, s2=s2)
 
     _invert_to_lag_windows(
@@ -328,6 +388,10 @@ def gcc_pair_lag_mags(
     gate = _PHAT_GATE
     if gate == "l2rx" and (row_smax is None or weighting != "phat"):
         gate = "l2"  # bound input unavailable — keep the per-pair form
+    gather = _PAIR_GATHER
+    # bf16 one-hot selects are the PHAT-only policy (phase consumer);
+    # "cc" under onehot keeps HIGHEST so f32 spectra pass exactly
+    gather_precision = "default" if weighting == "phat" else None
     nfft = spec_re.shape[-1]
     b = spec_re.shape[-2]
     n1, n2, w1re, w1im, w2re, w2im, twre, twim = fft_kernel.ct_constants(
@@ -386,12 +450,20 @@ def gcc_pair_lag_mags(
             _gcc_pairs_kernel,
             pairs=pairs, n1=n1, n2=n2,
             eps=eps, whiten=(weighting == "phat"), gate=gate,
+            gather=gather, gather_precision=gather_precision,
         )
         out_spec = lambda rows: pl.BlockSpec(
             (rows, m * n1), lambda i: (i, 0), memory_space=pltpu.VMEM
         )
         in_specs = [spec_spec, spec_spec] + const_specs
         args = (sre, sim, *consts)
+        if gather == "onehot":
+            ohi, ohj = _pair_onehots(pairs, b_pad)
+            oh_spec = pl.BlockSpec(
+                ohi.shape, lambda i: (0, 0), memory_space=pltpu.VMEM
+            )
+            in_specs = in_specs + [oh_spec, oh_spec]
+            args = args + (fft_kernel._lift(ohi, vma), fft_kernel._lift(ohj, vma))
         if gate == "l2rx":
             in_specs = in_specs + [smax_spec]
             args = args + (smax_in,)
