@@ -203,7 +203,8 @@ def channel_step_partials(
         bisect_iters=bisect_iters,
         emit_topk=0,
     )
-    det_params.pop("n1"), det_params.pop("n2")
+    det_params.pop("n1")
+    det_params.pop("n2")
     if max_lag >= nfft // 2:
         raise ValueError(f"max_lag {max_lag} too large for nfft {nfft}")
     if interpret is None:

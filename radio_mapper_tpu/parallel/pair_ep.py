@@ -139,19 +139,22 @@ def build_pair_ep_step(mesh: Mesh, config: PairEPConfig, *, axis: str = "pair"):
         fr = jax.lax.all_gather(fr_l, axis, tiled=True)  # [B, nfft]
         fi = jax.lax.all_gather(fi_l, axis, tiled=True)
 
-        # One-hot matmul gather of this shard's pair spectra: data-indexed
-        # gathers are unproven on the target runtime; [P_loc, B]×[B, nfft]
-        # contractions are its fastest primitive. PHAT chains run it
-        # single-pass bf16 (phase-only consumer — gcc_gather_precision,
-        # probed r5); "cc" keeps HIGHEST so f32 spectra pass through
-        # exactly.
         from radio_mapper_tpu.ops import safe
 
-        gp = sc_ops.gcc_gather_precision(cfg.weighting)
-        xfr = safe.pair_select(fr, pi_l, axis=-2, precision=gp)
-        xfi = safe.pair_select(fi, pi_l, axis=-2, precision=gp)
-        yfr = safe.pair_select(fr, pj_l, axis=-2, precision=gp)
-        yfi = safe.pair_select(fi, pj_l, axis=-2, precision=gp)
+        def gathered_pairs():
+            # One-hot matmul gather of this shard's pair spectra:
+            # data-indexed gathers are unproven on the target runtime;
+            # [P_loc, B]×[B, nfft] contractions are its fastest
+            # primitive. PHAT chains run it single-pass bf16 (phase-only
+            # consumer — gcc_gather_precision, probed r5); "cc" keeps
+            # HIGHEST so f32 spectra pass through exactly.
+            gp = sc_ops.gcc_gather_precision(cfg.weighting)
+            return (
+                safe.pair_select(fr, pi_l, axis=-2, precision=gp),
+                safe.pair_select(fi, pi_l, axis=-2, precision=gp),
+                safe.pair_select(fr, pj_l, axis=-2, precision=gp),
+                safe.pair_select(fi, pj_l, axis=-2, precision=gp),
+            )
 
         L = cfg.max_lag
         if use_fused:
@@ -190,6 +193,7 @@ def build_pair_ep_step(mesh: Mesh, config: PairEPConfig, *, axis: str = "pair"):
                 # the grid tiles pair rows so VMEM is bounded by the
                 # chunk size, not P_loc (the resident-spectra forms OOM
                 # VMEM at hundreds of receivers — onehot_pairs_enabled).
+                xfr, xfi, yfr, yfi = gathered_pairs()
                 m = gcc_kernel.gcc_rows_lag_mags(
                     xfr, xfi, yfr, yfi,
                     max_lag=L,
@@ -200,6 +204,7 @@ def build_pair_ep_step(mesh: Mesh, config: PairEPConfig, *, axis: str = "pair"):
                 )
         else:
             # R = X·conj(Y), PHAT whitening (per-pair max gate).
+            xfr, xfi, yfr, yfi = gathered_pairs()
             rre = xfr * yfr + xfi * yfi
             rim = xfi * yfr - xfr * yfi
             if cfg.weighting == "phat":
