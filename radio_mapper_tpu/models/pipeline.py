@@ -329,11 +329,13 @@ class TDOAPipeline:
                 )
                 return self._finish(peaks, pk, anchors_enu)
             if combined:
+                in_kernel_topk = detect_ops._COMBINED_TOPK
                 ct_spectra, partials, row_smax = (
                     sc_ops.receiver_spectra_ct_detect(
                         re, im, max_lag=c.max_lag,
                         **self._full_detect_kwargs(),
                         precision=sc_ops.gcc_forward_precision(c.weighting),
+                        emit_topk=c.max_peaks if in_kernel_topk else 0,
                     )
                 )
                 peaks = detect_ops.detect_peaks_ct(
@@ -343,6 +345,7 @@ class TDOAPipeline:
                     threshold_db=c.detection_threshold_db,
                     power_offset_db=c.power_offset_db,
                     partials=partials,
+                    kernel_topk=in_kernel_topk,
                 )
             else:
                 ct_spectra = sc_ops.receiver_spectra_ct(

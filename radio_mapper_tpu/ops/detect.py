@@ -225,6 +225,19 @@ def set_fused_fft_detect(mode: str) -> None:
     _FUSED_FFT_DETECT = mode
 
 
+# Finish peak selection INSIDE the combined FFT+detect kernel
+# (emit_topk): skips writing the F/8 partials and the XLA top-K passes.
+# r4 A/B'd the in-kernel form NEUTRAL when detect was a standalone
+# kernel; with the combined kernel the partials round-trip is a larger
+# relative share — re-probed r5 (docs/probe_logs/ab_r5_topk.log).
+_COMBINED_TOPK = False
+
+
+def set_combined_topk(on: bool) -> None:
+    global _COMBINED_TOPK
+    _COMBINED_TOPK = bool(on)
+
+
 def fused_fft_detect_enabled(
     nfft: int, *, min_distance_bins: int, noise_floor_stride: int
 ) -> bool:
@@ -288,8 +301,8 @@ def detect_peaks_ct(
     nfft = spec_re.shape[-1]
     n1, n2 = fft_kernel.ct_split(nfft)
     if partials is not None:
-        if kernel_topk:
-            raise ValueError("partials are seg-level; kernel_topk needs the kernel")
+        # seg-level (emit_topk=0) or kernel-topk-packed, per kernel_topk —
+        # the caller must match the emit_topk it gave the combined kernel
         score, seg_arg, noise_floor = partials
     else:
         score, seg_arg, noise_floor = detect_kernel.detect_ct_partials(

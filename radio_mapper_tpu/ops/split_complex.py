@@ -359,6 +359,7 @@ def receiver_spectra_ct_detect(
     power_offset_db: float = 0.0,
     vma=None,
     precision: Optional[str] = None,
+    emit_topk: int = 0,
 ):
     """CT-order spectra + detect partials + per-row power max, ONE kernel.
 
@@ -368,6 +369,9 @@ def receiver_spectra_ct_detect(
     ``((fr, fi, nfft), (seg_score, seg_arg, noise_floor_db), row_max)``
     where ``row_max[..., B]`` is each receiver's max linear spectral
     power (the per-receiver PHAT-gate input, gcc_kernel "l2rx").
+    ``emit_topk=K`` finishes the peak selection IN-kernel (partials come
+    back as the packed top-K — consume with
+    ``detect_peaks_ct(partials=..., kernel_topk=True)``).
     """
     from radio_mapper_tpu.ops.pallas import detect_kernel, gcc_kernel
 
@@ -387,6 +391,7 @@ def receiver_spectra_ct_detect(
         power_offset_db=power_offset_db,
         vma=vma,
         precision=precision,
+        emit_topk=emit_topk,
     )
     return (fr, fi, nfft), (score, arg, nf), rmax
 

@@ -230,3 +230,66 @@ def test_rows_kernel_s2_gate_parity():
         np.testing.assert_array_equal(got3, base)
     finally:
         gcc_kernel.set_phat_gate(prior)
+
+
+def test_combined_kernel_in_kernel_topk_matches():
+    """emit_topk in the COMBINED kernel: identical peaks to the two-stage
+    partials + XLA top-K tail."""
+    re, im = _rows(5, 9216, seed=21)
+    fr, fi, s0, a0, nf0, _ = detect_kernel.fft_detect_rows_ct(
+        re, im, **DET, interpret=True
+    )
+    base = detect_ops.peaks_from_ct_partials(
+        s0, a0, nf0, nfft=9216,
+        sample_rate_hz=DET["sample_rate_hz"], max_peaks=8,
+        power_offset_db=DET["power_offset_db"],
+    )
+    _, _, sv, av, nfv, _ = detect_kernel.fft_detect_rows_ct(
+        re, im, **DET, interpret=True, emit_topk=8
+    )
+    got = detect_ops.peaks_from_ct_partials(
+        sv, av, nfv, nfft=9216,
+        sample_rate_hz=DET["sample_rate_hz"], max_peaks=8,
+        power_offset_db=DET["power_offset_db"], kernel_topk=True,
+    )
+    for f in ("bin_index", "power_db", "snr_db", "valid", "noise_floor_db"):
+        np.testing.assert_array_equal(
+            np.asarray(getattr(got, f)), np.asarray(getattr(base, f)), err_msg=f
+        )
+
+
+def test_pipeline_combined_topk_matches():
+    """step_split with in-kernel top-K in the combined routing equals the
+    default partials routing exactly."""
+    from radio_mapper_tpu.models.pipeline import PipelineConfig, TDOAPipeline
+
+    scen = sim.default_scenario(signal="noise", bandwidth_hz=100e3, snr_db=15.0, seed=23)
+    cap = sim.synthesize(scen)
+    re = np.real(cap.iq).astype(np.float32)
+    im = np.imag(cap.iq).astype(np.float32)
+    anchors = np.asarray(cap.buoy_enu, np.float32)
+    cfg = PipelineConfig(
+        num_buoys=re.shape[0], block_len=re.shape[-1],
+        sample_rate_hz=scen.sample_rate_hz, max_lag=256, solver_iterations=10,
+    )
+    sc_ops.set_gcc_fused("on")
+    detect_ops.set_fused_detect("on")
+    try:
+        base = TDOAPipeline(cfg).step_split(
+            jnp.asarray(re), jnp.asarray(im), jnp.asarray(anchors)
+        )
+        detect_ops.set_combined_topk(True)
+        topk = TDOAPipeline(cfg).step_split(
+            jnp.asarray(re), jnp.asarray(im), jnp.asarray(anchors)
+        )
+    finally:
+        detect_ops.set_combined_topk(False)
+        detect_ops.set_fused_detect("auto")
+        sc_ops.set_gcc_fused("auto")
+    np.testing.assert_array_equal(
+        np.asarray(base.peaks.bin_index), np.asarray(topk.peaks.bin_index)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(base.correlation.lag_samples),
+        np.asarray(topk.correlation.lag_samples),
+    )
