@@ -150,6 +150,69 @@ def main():
             "collective_bytes_per_step": ag_bytes + psum_bytes,
             "note": "all_gather spectra + per-iteration psum",
         }), flush=True)
+
+    # ---- config-5 (r5): the 256-channel north-star program --------------
+    c5 = ShardedStepConfig(
+        num_channels=256, num_buoys=8, num_subchannels=16,
+        sample_rate_hz=2_400_000.0, max_lag=32, taps_per_channel=4,
+        solver_iterations=8,
+    )
+    c5_hist = (c5.taps_per_channel - 1) * c5.num_subchannels
+    for n in (1, 2, 4, 8):
+        shape = mesh_lib.balanced_mesh_shape(n)
+        mesh = mesh_lib.make_mesh(shape, ("ch", "blk"), devices=devices[:n])
+        blk = mesh.shape["blk"]
+        per_shard = 1024 * 8 // blk  # same global samples regardless of n
+        step, _ = build_sharded_step_split(mesh, c5)
+        arrays = example_inputs_split(mesh, c5, samples_per_shard=per_shard)
+        dt = timed(step, arrays, args.iters)
+        halo_bytes = (
+            0 if blk == 1 else
+            (c5.num_channels // mesh.shape["ch"]) * c5.num_buoys
+            * c5_hist * 4 * 2 * blk
+        )
+        print(json.dumps({
+            "program": "config5_256ch", "devices": n,
+            "mesh": f"ch={mesh.shape['ch']} x blk={blk}",
+            "global_shape": f"256ch x 8 buoys x {1024 * 8} samples",
+            "wall_ms_per_step": round(dt * 1e3, 1),
+            "collective_bytes_per_step": halo_bytes,
+            "note": "the BASELINE configs[4] program (scaled block)",
+        }), flush=True)
+
+    # ---- wideband config-4 sharded over subchannels (r4/r5) -------------
+    from radio_mapper_tpu.models.wideband import (
+        WidebandConfig, build_wideband_sharded_step,
+    )
+
+    wb_cfg = WidebandConfig(
+        num_buoys=16, wide_rate_hz=2_048_000.0, num_subchannels=8,
+        taps_per_channel=4, sub_block=1024, max_lag=48, solver_iterations=6,
+    )
+    wb_rng = np.random.default_rng(1)
+    wb_re = wb_rng.normal(size=(wb_cfg.num_buoys, wb_cfg.wide_block)).astype(np.float32)
+    wb_im = wb_rng.normal(size=(wb_cfg.num_buoys, wb_cfg.wide_block)).astype(np.float32)
+    wb_anchors = wb_rng.normal(scale=5_000.0, size=(wb_cfg.num_buoys, 3)).astype(np.float32)
+    wb_anchors[:, 2] = 0.0
+    for n in (1, 2, 4, 8):
+        mesh = mesh_lib.make_mesh((n,), ("sub",), devices=devices[:n])
+        step, sh = build_wideband_sharded_step(mesh, wb_cfg)
+        arrays = (
+            jax.device_put(wb_re, sh[0]),
+            jax.device_put(wb_im, sh[1]),
+            jax.device_put(wb_anchors, sh[2]),
+        )
+        dt = timed(step, arrays, args.iters)
+        print(json.dumps({
+            "program": "wideband_sub", "devices": n,
+            "global_shape": (
+                f"{wb_cfg.num_buoys} buoys x {wb_cfg.num_subchannels} sub / "
+                f"{wb_cfg.num_pairs} pairs"
+            ),
+            "wall_ms_per_step": round(dt * 1e3, 1),
+            "collective_bytes_per_step": 0,
+            "note": "subchannels embarrassingly parallel after replicated PFB",
+        }), flush=True)
     return 0
 
 
