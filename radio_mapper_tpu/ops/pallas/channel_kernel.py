@@ -1,5 +1,11 @@
 """The flagship megakernel: FFT × detect × GCC pair stage, one VMEM pass.
 
+One kernel covers what the reference runs as two separate processes —
+the per-node FFT detector (`/root/reference/buoy_node.py:357-469`) and
+the central pairwise correlation loop
+(`/root/reference/tdoa_processor.py:156-193`) — for one channel's
+receivers per grid cell.
+
 r5 endpoint of the fusion ladder. The r4→r5 combined FFT+detect kernel
 still wrote every receiver's CT spectra to HBM (142 MB/block at 128 ch)
 for the pair kernel to read back (another 142 MB). But one grid cell of
