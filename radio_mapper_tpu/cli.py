@@ -731,6 +731,44 @@ def cmd_eeprom(args):
     sys.exit(eeprom.run(args))
 
 
+def cmd_usbprobe(args):
+    """Run the librtlsdr-equivalent USB bring-up protocol
+    (`Code/src/librtlsdr.c:1407-1602`) against the register-level device
+    model — demonstrates the L0 open→init→probe→tune→stream state
+    machine end-to-end without hardware."""
+    from radio_mapper_tpu.net.rtl2832u_model import MockRtlUsbTransport
+    from radio_mapper_tpu.net.usb_proto import Rtl2832u, TunerType
+    from radio_mapper_tpu.tools.sdr_test import DropStats
+
+    tuner = TunerType[args.tuner.upper()]
+    transport = MockRtlUsbTransport(tuner)
+    dev = Rtl2832u(transport)
+    found = dev.open()
+    real_rate = dev.set_sample_rate(int(args.rate))
+    achieved = dev.set_center_freq(int(args.freq))
+    snapped = dev.set_tuner_gain(args.gain) if found != TunerType.UNKNOWN \
+        else None
+    dev.set_testmode(True)
+    stats = DropStats()
+    import numpy as np
+    for _ in range(8):
+        stats.update(np.frombuffer(dev.read_sync(16384), np.uint8))
+    dev.set_testmode(False)
+    dev.close()
+    print(f"tuner: {found.name}")
+    print(f"sample rate: requested {args.rate} -> achieved {real_rate:.3f} Hz")
+    print(f"center freq: requested {args.freq} -> achieved {achieved:.1f} Hz "
+          f"(LO error {achieved - float(args.freq):+.1f} Hz)")
+    if snapped is not None:
+        print(f"gain: requested {args.gain/10:.1f} dB -> "
+              f"snapped {snapped/10:.1f} dB")
+    print(f"counter test: {stats.total_bytes} bytes, "
+          f"{stats.lost_bytes} lost, {stats.gaps} gaps")
+    print(f"control transfers: {transport.stats.control_out} out / "
+          f"{transport.stats.control_in} in; "
+          f"bulk bytes: {transport.stats.bulk_bytes}")
+
+
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(
         prog="radio_mapper_tpu", description="TPU-native TDOA geolocation framework"
@@ -917,6 +955,20 @@ def build_parser() -> argparse.ArgumentParser:
 
     _eeprom.add_args(s)
     s.set_defaults(fn=cmd_eeprom)
+
+    s = sub.add_parser(
+        "usbprobe",
+        help="librtlsdr-equivalent USB bring-up against the device model",
+    )
+    s.add_argument("--tuner", default="r820t",
+                   choices=["e4000", "fc0012", "fc0013", "fc2580",
+                            "r820t", "r828d", "unknown"],
+                   help="tuner chip the modeled dongle carries")
+    s.add_argument("--freq", type=float, default=121.5e6)
+    s.add_argument("--rate", type=float, default=2_048_000)
+    s.add_argument("--gain", type=int, default=400,
+                   help="tenth-dB, snapped to the tuner table")
+    s.set_defaults(fn=cmd_usbprobe)
 
     return p
 
