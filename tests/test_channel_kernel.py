@@ -118,7 +118,9 @@ def test_pipeline_mega_path_localizes():
             jnp.asarray(re), jnp.asarray(im), jnp.asarray(anchors)
         )
     finally:
-        channel_kernel.set_mega_fused("auto")
+        # restore the SHIPPED defaults ("off" for mega — the measured-
+        # neutral megakernel stays opt-in; "auto" for the fused routings)
+        channel_kernel.set_mega_fused("off")
         detect_ops.set_fused_detect("auto")
         sc_ops.set_gcc_fused("auto")
     np.testing.assert_array_equal(
