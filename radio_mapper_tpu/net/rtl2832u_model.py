@@ -40,7 +40,7 @@ import numpy as np
 from .usb_proto import (
     Block, ControlTransfer, CTRL_IN, CTRL_OUT, EEPROM_I2C_ADDR, EEPROM_SIZE,
     TransportError, TunerType, TUNER_I2C_ADDR, TUNER_PROBES_PRE_RESET,
-    TUNER_PROBES_POST_RESET,
+    TUNER_PROBES_POST_RESET, UsbDeviceInfo,
 )
 
 
@@ -239,3 +239,44 @@ class MockRtlUsbTransport:
 
     def _i2c_in(self, addr: int, length: int) -> bytes:
         return self._i2c_chip(addr).read(length)
+
+
+class MockUsbBus:
+    """A host USB bus model for the enumeration/search API: a mix of
+    modeled dongles and non-dongle devices (which enumeration must skip,
+    `librtlsdr.c:1288-1291`). Dongle descriptor strings come from the
+    same EEPROM image the modeled device carries — as on real silicon,
+    where the RTL2832U serves its USB strings from EEPROM."""
+
+    def __init__(self):
+        self._devices: List[Tuple[UsbDeviceInfo, Optional[MockRtlUsbTransport]]] = []
+
+    def add_dongle(self, tuner: TunerType, eeprom_image: bytes,
+                   **transport_kw) -> MockRtlUsbTransport:
+        from radio_mapper_tpu.tools.eeprom import parse_image
+
+        conf = parse_image(eeprom_image)
+        transport = MockRtlUsbTransport(tuner, eeprom_image=eeprom_image,
+                                        **transport_kw)
+        info = UsbDeviceInfo(conf.vendor_id, conf.product_id,
+                             conf.manufacturer, conf.product, conf.serial)
+        self._devices.append((info, transport))
+        return transport
+
+    def add_other_device(self, vid: int, pid: int, product: str = "") -> None:
+        """A non-RTL device on the bus (hub, keyboard, ...)."""
+        self._devices.append(
+            (UsbDeviceInfo(vid, pid, product=product), None))
+
+    # -- UsbBus --
+
+    def devices(self) -> List[UsbDeviceInfo]:
+        return [info for info, _ in self._devices]
+
+    def open(self, bus_slot: int) -> MockRtlUsbTransport:
+        info, transport = self._devices[bus_slot]
+        if transport is None:
+            raise TransportError(
+                f"device at slot {bus_slot} ({info.product!r}) is not a "
+                "modeled dongle")
+        return transport

@@ -731,3 +731,117 @@ class Rtl2832u:
         async 15×256 KiB engine equivalent lives in `native/ingest.cpp`
         (`librtlsdr.c:1769-1891` parity is documented there)."""
         return self.t.bulk_read(num_bytes)
+
+
+# --- bus enumeration + device search ----------------------------------------
+
+
+@dataclasses.dataclass(frozen=True)
+class UsbDeviceInfo:
+    """USB descriptor facts enumeration filters/searches on — the
+    subset of `libusb_device_descriptor` + string descriptors the
+    reference reads (`librtlsdr.c:786-824, 1276-1299`)."""
+
+    vid: int
+    pid: int
+    manufacturer: str = ""
+    product: str = ""
+    serial: str = ""
+
+
+class UsbBus(Protocol):
+    """A host USB bus: the raw device list (dongles AND everything
+    else) plus the ability to open a slot — the `libusb_get_device_list`
+    / `libusb_open` pair."""
+
+    def devices(self) -> Sequence[UsbDeviceInfo]: ...
+
+    def open(self, bus_slot: int) -> UsbTransport:
+        """Open the device at raw bus slot `bus_slot` (NOT the dongle
+        index — enumeration maps between the two)."""
+        ...
+
+
+def _known_slots(bus: UsbBus) -> List[int]:
+    """Raw bus slots holding known dongles, in bus order — dongle index
+    i lives at slot `_known_slots(bus)[i]` (`librtlsdr.c:1288-1291`)."""
+    return [i for i, d in enumerate(bus.devices())
+            if identify_device(d.vid, d.pid) is not None]
+
+
+def get_device_count(bus: UsbBus) -> int:
+    """`rtlsdr_get_device_count` (`librtlsdr.c:1275-1300`)."""
+    return len(_known_slots(bus))
+
+
+def get_device_name(bus: UsbBus, index: int) -> str:
+    """`rtlsdr_get_device_name` (`librtlsdr.c:1302-1336`): the KNOWN-
+    DEVICES table name, '' when the index is out of range."""
+    slots = _known_slots(bus)
+    if not 0 <= index < len(slots):
+        return ""
+    d = bus.devices()[slots[index]]
+    return identify_device(d.vid, d.pid) or ""
+
+
+def get_device_usb_strings(bus: UsbBus, index: int) -> Tuple[str, str, str]:
+    """`rtlsdr_get_device_usb_strings` (`librtlsdr.c:1339-1379`):
+    (manufacturer, product, serial) for dongle `index`."""
+    slots = _known_slots(bus)
+    if not 0 <= index < len(slots):
+        raise TransportError(f"no dongle at index {index}")
+    d = bus.devices()[slots[index]]
+    return d.manufacturer, d.product, d.serial
+
+
+def get_index_by_serial(bus: UsbBus, serial: str) -> int:
+    """`rtlsdr_get_index_by_serial` (`librtlsdr.c:1382-1404`): exact
+    serial match; negative error codes preserved (-2 no devices,
+    -3 not found)."""
+    count = get_device_count(bus)
+    if not count:
+        return -2
+    for i in range(count):
+        if get_device_usb_strings(bus, i)[2] == serial:
+            return i
+    return -3
+
+
+def device_search(bus: UsbBus, spec: str) -> int:
+    """`verbose_device_search` (`Code/src/convenience/convenience.c:
+    244-303`): resolve a user spec to a dongle index by, in order,
+    raw index number → exact serial → serial prefix → serial suffix.
+    Returns -1 when nothing matches (the reference's error code)."""
+    count = get_device_count(bus)
+    if not count:
+        return -1
+    serials = [get_device_usb_strings(bus, i)[2] for i in range(count)]
+    try:
+        index = int(spec, 0)
+    except ValueError:
+        index = -1
+    if 0 <= index < count and spec.strip() == spec:
+        return index
+    for i, sn in enumerate(serials):
+        if sn == spec:
+            return i
+    for i, sn in enumerate(serials):
+        if sn.startswith(spec):
+            return i
+    for i, sn in enumerate(serials):
+        if len(sn) >= len(spec) and sn.endswith(spec):
+            return i
+    return -1
+
+
+def open_device(bus: UsbBus, index: int = 0, **dev_kwargs) -> Rtl2832u:
+    """`rtlsdr_open` front half (`librtlsdr.c:1431-1449`): map dongle
+    index → bus slot, open the transport, and run the bring-up state
+    machine. Returns the ready driver."""
+    slots = _known_slots(bus)
+    if not 0 <= index < len(slots):
+        raise TransportError(f"no dongle at index {index} "
+                             f"({len(slots)} present)")
+    dev = Rtl2832u(bus.open(slots[index]), **dev_kwargs)
+    dev.open()
+    return dev

@@ -317,3 +317,70 @@ def test_eeprom_bounds():
         dev.read_eeprom(250, 10)
     with pytest.raises(ValueError):
         dev.write_eeprom(b"\x00" * 10, offset=250)
+
+
+# --- bus enumeration + device search (`librtlsdr.c:1275-1404`,
+# --- `convenience.c:244-303`) -----------------------------------------------
+
+
+def make_bus():
+    """Two dongles with distinct serials, sandwiched between non-RTL
+    devices that enumeration must skip."""
+    from radio_mapper_tpu.net.rtl2832u_model import MockUsbBus
+    from radio_mapper_tpu.tools.eeprom import EepromConfig, generate_image
+
+    bus = MockUsbBus()
+    bus.add_other_device(0x1D6B, 0x0002, "xHCI root hub")
+    bus.add_dongle(TunerType.R820T, generate_image(
+        EepromConfig(0x0BDA, 0x2838, "Realtek", "RTL2838UHIDIR",
+                     "00000101", True, False, True)))
+    bus.add_other_device(0x046D, 0xC31C, "keyboard")
+    bus.add_dongle(TunerType.E4000, generate_image(
+        EepromConfig(0x0BDA, 0x2832, "Generic", "RTL2832U DVB-T",
+                     "buoy-07", True, False, True)))
+    return bus
+
+
+def test_enumeration_skips_non_dongles():
+    from radio_mapper_tpu.net import usb_proto as up
+
+    bus = make_bus()
+    assert up.get_device_count(bus) == 2
+    assert up.get_device_name(bus, 0) == "Generic RTL2832U OEM"
+    assert up.get_device_name(bus, 1) == "Generic RTL2832U"
+    assert up.get_device_name(bus, 2) == ""  # out of range -> ''
+    assert up.get_device_usb_strings(bus, 1) == (
+        "Generic", "RTL2832U DVB-T", "buoy-07")
+
+
+def test_index_by_serial():
+    from radio_mapper_tpu.net import usb_proto as up
+    from radio_mapper_tpu.net.rtl2832u_model import MockUsbBus
+
+    bus = make_bus()
+    assert up.get_index_by_serial(bus, "buoy-07") == 1
+    assert up.get_index_by_serial(bus, "nope") == -3
+    assert up.get_index_by_serial(MockUsbBus(), "x") == -2
+
+
+def test_device_search_index_exact_prefix_suffix():
+    from radio_mapper_tpu.net import usb_proto as up
+
+    bus = make_bus()
+    assert up.device_search(bus, "1") == 1            # raw index
+    assert up.device_search(bus, "00000101") == 0     # exact serial
+    assert up.device_search(bus, "buoy") == 1         # prefix
+    assert up.device_search(bus, "-07") == 1          # suffix
+    assert up.device_search(bus, "absent") == -1
+
+
+def test_open_device_by_index_brings_up_the_right_dongle():
+    from radio_mapper_tpu.net import usb_proto as up
+
+    bus = make_bus()
+    dev = up.open_device(bus, up.device_search(bus, "buoy-07"))
+    assert dev.tuner_type == TunerType.E4000
+    dev0 = up.open_device(bus, 0)
+    assert dev0.tuner_type == TunerType.R820T
+    with pytest.raises(TransportError):
+        up.open_device(bus, 5)
