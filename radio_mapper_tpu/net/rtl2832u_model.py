@@ -274,6 +274,11 @@ class MockUsbBus:
         return [info for info, _ in self._devices]
 
     def open(self, bus_slot: int) -> MockRtlUsbTransport:
+        # strict bounds: a negative error code (device_search -1,
+        # get_index_by_serial -2/-3) passed straight in must fail, not
+        # silently open self._devices[-1]
+        if not 0 <= bus_slot < len(self._devices):
+            raise TransportError(f"no device at bus slot {bus_slot}")
         info, transport = self._devices[bus_slot]
         if transport is None:
             raise TransportError(

@@ -523,7 +523,7 @@ class Rtl2832u:
                 vco_power_ref=1 if tt == TunerType.R828D else 2)
             achieved = plan.actual_hz - R82XX_IF_FREQ_HZ
         elif tt == TunerType.E4000:
-            plan = tuner_plan.plan_e4k_pll(freq_hz, xtal_hz=tun_xtal)
+            plan = tuner_plan.plan_e4k_pll(freq_hz, fosc_hz=tun_xtal)
             achieved = plan.actual_hz
         elif tt == TunerType.FC0012:
             plan = tuner_plan.plan_fc0012_pll(freq_hz, xtal_hz=tun_xtal)
@@ -762,35 +762,39 @@ class UsbBus(Protocol):
         ...
 
 
-def _known_slots(bus: UsbBus) -> List[int]:
-    """Raw bus slots holding known dongles, in bus order — dongle index
-    i lives at slot `_known_slots(bus)[i]` (`librtlsdr.c:1288-1291`)."""
-    return [i for i, d in enumerate(bus.devices())
+def _enumerate_dongles(bus: UsbBus) -> List[Tuple[int, UsbDeviceInfo]]:
+    """ONE bus snapshot → [(raw bus slot, descriptor)] for the known
+    dongles, in bus order — dongle index i is the i-th entry
+    (`librtlsdr.c:1288-1291`). All the API functions below take exactly
+    one snapshot per call: `devices()` maps onto
+    `libusb_get_device_list`, and two snapshots within one operation
+    would race hot-(un)plug on a real bus."""
+    return [(slot, d) for slot, d in enumerate(bus.devices())
             if identify_device(d.vid, d.pid) is not None]
 
 
 def get_device_count(bus: UsbBus) -> int:
     """`rtlsdr_get_device_count` (`librtlsdr.c:1275-1300`)."""
-    return len(_known_slots(bus))
+    return len(_enumerate_dongles(bus))
 
 
 def get_device_name(bus: UsbBus, index: int) -> str:
     """`rtlsdr_get_device_name` (`librtlsdr.c:1302-1336`): the KNOWN-
     DEVICES table name, '' when the index is out of range."""
-    slots = _known_slots(bus)
-    if not 0 <= index < len(slots):
+    dongles = _enumerate_dongles(bus)
+    if not 0 <= index < len(dongles):
         return ""
-    d = bus.devices()[slots[index]]
+    _, d = dongles[index]
     return identify_device(d.vid, d.pid) or ""
 
 
 def get_device_usb_strings(bus: UsbBus, index: int) -> Tuple[str, str, str]:
     """`rtlsdr_get_device_usb_strings` (`librtlsdr.c:1339-1379`):
     (manufacturer, product, serial) for dongle `index`."""
-    slots = _known_slots(bus)
-    if not 0 <= index < len(slots):
+    dongles = _enumerate_dongles(bus)
+    if not 0 <= index < len(dongles):
         raise TransportError(f"no dongle at index {index}")
-    d = bus.devices()[slots[index]]
+    _, d = dongles[index]
     return d.manufacturer, d.product, d.serial
 
 
@@ -798,11 +802,11 @@ def get_index_by_serial(bus: UsbBus, serial: str) -> int:
     """`rtlsdr_get_index_by_serial` (`librtlsdr.c:1382-1404`): exact
     serial match; negative error codes preserved (-2 no devices,
     -3 not found)."""
-    count = get_device_count(bus)
-    if not count:
+    dongles = _enumerate_dongles(bus)
+    if not dongles:
         return -2
-    for i in range(count):
-        if get_device_usb_strings(bus, i)[2] == serial:
+    for i, (_, d) in enumerate(dongles):
+        if d.serial == serial:
             return i
     return -3
 
@@ -811,16 +815,25 @@ def device_search(bus: UsbBus, spec: str) -> int:
     """`verbose_device_search` (`Code/src/convenience/convenience.c:
     244-303`): resolve a user spec to a dongle index by, in order,
     raw index number → exact serial → serial prefix → serial suffix.
-    Returns -1 when nothing matches (the reference's error code)."""
-    count = get_device_count(bus)
-    if not count:
+    Returns -1 when nothing matches (the reference's error code).
+
+    DELIBERATE deviation from the C numeric parse: strtol base-0 reads
+    leading-zero specs as octal, so the reference resolves the most
+    common factory serial "00000001" to raw index 1 instead of the
+    dongle carrying that serial, and accepts leading whitespace. Here a
+    spec is an index only if it is a plain decimal/0x literal with no
+    surrounding whitespace; zero-padded strings fall through to the
+    serial matchers, which is what the user meant.
+    """
+    dongles = _enumerate_dongles(bus)
+    if not dongles:
         return -1
-    serials = [get_device_usb_strings(bus, i)[2] for i in range(count)]
+    serials = [d.serial for _, d in dongles]
     try:
-        index = int(spec, 0)
+        index = int(spec, 0) if spec.strip() == spec else -1
     except ValueError:
         index = -1
-    if 0 <= index < count and spec.strip() == spec:
+    if 0 <= index < len(dongles):
         return index
     for i, sn in enumerate(serials):
         if sn == spec:
@@ -829,7 +842,7 @@ def device_search(bus: UsbBus, spec: str) -> int:
         if sn.startswith(spec):
             return i
     for i, sn in enumerate(serials):
-        if len(sn) >= len(spec) and sn.endswith(spec):
+        if sn.endswith(spec):
             return i
     return -1
 
@@ -838,10 +851,10 @@ def open_device(bus: UsbBus, index: int = 0, **dev_kwargs) -> Rtl2832u:
     """`rtlsdr_open` front half (`librtlsdr.c:1431-1449`): map dongle
     index → bus slot, open the transport, and run the bring-up state
     machine. Returns the ready driver."""
-    slots = _known_slots(bus)
-    if not 0 <= index < len(slots):
+    dongles = _enumerate_dongles(bus)
+    if not 0 <= index < len(dongles):
         raise TransportError(f"no dongle at index {index} "
-                             f"({len(slots)} present)")
-    dev = Rtl2832u(bus.open(slots[index]), **dev_kwargs)
+                             f"({len(dongles)} present)")
+    dev = Rtl2832u(bus.open(dongles[index][0]), **dev_kwargs)
     dev.open()
     return dev

@@ -218,6 +218,21 @@ def test_set_center_freq_programs_tuner_lo():
         int(plan.params[k]) & 0xFFFFFFFF for k in sorted(plan.params))
 
 
+@pytest.mark.parametrize("tuner,freq", [
+    (TunerType.E4000, 100e6), (TunerType.FC0012, 200e6),
+    (TunerType.FC0013, 433.92e6), (TunerType.FC2580, 868e6),
+    (TunerType.R820T, 121.5e6), (TunerType.R828D, 1090e6),
+])
+def test_every_tuner_family_tunes(tuner, freq):
+    """set_center_freq must route through each family's PLL planner and
+    land within its quantization step (kHz-class worst case)."""
+    t, dev = open_dev(tuner)
+    achieved = dev.set_center_freq(int(freq))
+    assert len(t.tuner_chip.lo_plans) == 1
+    assert abs(achieved - freq) < 2_000
+    assert not t.repeater_on()
+
+
 def test_direct_sampling_tunes_2832_if():
     t, dev = open_dev(None)  # no tuner → direct sampling
     achieved = dev.set_center_freq(14_200_000)
@@ -372,6 +387,36 @@ def test_device_search_index_exact_prefix_suffix():
     assert up.device_search(bus, "buoy") == 1         # prefix
     assert up.device_search(bus, "-07") == 1          # suffix
     assert up.device_search(bus, "absent") == -1
+
+
+def test_device_search_zero_padded_serial_is_not_an_index():
+    """Deliberate deviation from convenience.c's strtol base-0 parse:
+    the common factory serial "00000001" must select the dongle carrying
+    that serial, not be read as octal index 1 (documented in
+    device_search)."""
+    from radio_mapper_tpu.net import usb_proto as up
+    from radio_mapper_tpu.net.rtl2832u_model import MockUsbBus
+    from radio_mapper_tpu.tools.eeprom import EepromConfig, generate_image
+
+    bus = MockUsbBus()
+    bus.add_dongle(TunerType.R820T, generate_image(
+        EepromConfig(0x0BDA, 0x2838, "Realtek", "RTL2838UHIDIR",
+                     "00000001", True, False, True)))
+    bus.add_dongle(TunerType.E4000, generate_image(
+        EepromConfig(0x0BDA, 0x2832, "Generic", "RTL2832U DVB-T",
+                     "00000002", True, False, True)))
+    assert up.device_search(bus, "00000001") == 0   # serial, not octal 1
+    assert up.device_search(bus, "1") == 1          # plain index still works
+    assert up.device_search(bus, " 1") == -1        # whitespace is no index
+
+
+def test_mock_bus_rejects_negative_and_out_of_range_slots():
+    """Error codes (-1/-2/-3) passed straight into open() must raise,
+    never silently open devices[-1]."""
+    bus = make_bus()
+    for slot in (-1, -2, -3, 99):
+        with pytest.raises(TransportError):
+            bus.open(slot)
 
 
 def test_open_device_by_index_brings_up_the_right_dongle():
