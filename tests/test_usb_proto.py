@@ -26,6 +26,8 @@ from radio_mapper_tpu.tools.eeprom import (
 )
 from radio_mapper_tpu.tools.sdr_test import DropStats
 
+EEPROM_SIZE_BYTES = 256
+
 
 def open_dev(tuner=TunerType.R820T, **kw):
     t = MockRtlUsbTransport(tuner, **kw)
@@ -72,6 +74,37 @@ def test_fir_packing_golden():
         taps += [v0 - 4096 if v0 >= 2048 else v0,
                  v1 - 4096 if v1 >= 2048 else v1]
     assert taps == list(FIR_DEFAULT[8:])
+
+
+def test_fir_packing_random_roundtrip():
+    """Property check over random in-range taps: pack → independent
+    bit-level unpack recovers every tap exactly (200 draws)."""
+    rng = np.random.default_rng(7)
+    for _ in range(200):
+        taps = list(rng.integers(-128, 128, 8)) + \
+            list(rng.integers(-2048, 2048, 8))
+        image = pack_fir(taps)
+        got = [b - 256 if b >= 128 else b for b in image[:8]]
+        for base in range(8, 20, 3):
+            b0, b1, b2 = image[base], image[base + 1], image[base + 2]
+            v0 = (b0 << 4) | (b1 >> 4)
+            v1 = ((b1 & 0x0F) << 8) | b2
+            got += [v0 - 4096 if v0 >= 2048 else v0,
+                    v1 - 4096 if v1 >= 2048 else v1]
+        assert got == [int(v) for v in taps]
+
+
+def test_eeprom_random_images_roundtrip():
+    """Random byte images survive driver write → driver read through
+    the pointered I2C model (sequential-read semantics)."""
+    rng = np.random.default_rng(11)
+    _, dev = open_dev()
+    for _ in range(5):
+        img = rng.integers(0, 256, EEPROM_SIZE_BYTES).astype(np.uint8).tobytes()
+        dev.write_eeprom(img)
+        assert dev.read_eeprom(0, EEPROM_SIZE_BYTES) == img
+        # partial window read matches the slice
+        assert dev.read_eeprom(37, 41) == img[37:78]
 
 
 def test_fir_range_errors():
