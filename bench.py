@@ -268,7 +268,7 @@ def run_fft_microbench(*, rows: int = 256, n: int = 16_384, iters: int = 50) -> 
 
 def run_gcc_microbench(
     *, channels: int = 32, num_buoys: int = 8, n: int = 16_384, max_lag: int = 512,
-    iters: int = 50, scan_blocks: int = 8,
+    iters: int = 50, scan_blocks: int = 32,
 ) -> float:
     """All-pairs GCC-PHAT throughput (pair correlations/s).
 
@@ -276,7 +276,11 @@ def run_gcc_microbench(
     methodology as :func:`run_ep_microbench`, so the two pairs/s numbers
     in the JSON are directly comparable (VERDICT r4 weak #5: the r4
     headline mixed an unamortized single-dispatch gcc number with a
-    scan-amortized EP number)."""
+    scan-amortized EP number). Depth 32 adopted late r5: both
+    microbenches' ~1-1.6 ms blocks still carried 11-27% dispatch floor
+    at scan-8 — scan-32 won both interleaved rounds, gcc 781/799 → 938/
+    945 k, EP 1143/1149 → 1415/1409 k pairs/s (probe_r5_pairs_scan);
+    stacks are 1 GB / 64 MB, far from the flagship's 8.6 GB cap."""
     import functools
 
     import jax
@@ -313,7 +317,7 @@ def run_gcc_microbench(
 
 def run_ep_microbench(
     *, num_buoys: int = 64, block_len: int = 4096, max_lag: int = 256,
-    iters: int = 20, scan_blocks: int = 8,
+    iters: int = 20, scan_blocks: int = 32,
 ) -> float:
     """Pair-EP step throughput: 64 receivers → 2016 pairs on a 1-device
     "pair" mesh (the EP program bench VERDICT r2 item 8 asked for; the
