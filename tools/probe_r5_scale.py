@@ -47,7 +47,7 @@ def epoch(step, args, iters=8):
     return (time.perf_counter() - t0) / iters
 
 
-def config5_shard(channels_share: int, scan: int = 8):
+def config5_shard(channels_share: int, scan: int = 32):
     import jax
     import jax.numpy as jnp
     from radio_mapper_tpu.parallel import mesh as mesh_lib
@@ -106,7 +106,7 @@ def config5_shard(channels_share: int, scan: int = 8):
     return dt
 
 
-def ep_256(scan: int = 8):
+def ep_256(scan: int = 8):  # 23.7 ms blocks: floor <1.3%, depth is a non-lever here
     import jax
     import jax.numpy as jnp
     from jax.sharding import Mesh
