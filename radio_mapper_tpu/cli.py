@@ -712,14 +712,57 @@ def _pipeline_smoke():
     return "ok"
 
 
+def _check_time_sync() -> str:
+    """Best-effort host clock-sync probe for `setup` — the reference
+    shells out to `ntpdate -q` (`run.py:209-220`); here we try the
+    commands a modern host actually has, degrading gracefully (offline
+    boxes and containers report 'unavailable', never fail)."""
+    import shutil
+    import subprocess
+
+    probes = [
+        (["timedatectl", "show", "--property=NTPSynchronized"],
+         lambda out: "synchronized" if "NTPSynchronized=yes" in out
+         else "NOT synchronized"),
+        (["chronyc", "tracking"],
+         lambda out: next((ln.strip() for ln in out.splitlines()
+                           if "System time" in ln), "tracking ok")),
+        (["ntpdate", "-q", "pool.ntp.org"], lambda out: "reachable"),
+    ]
+    failed = []
+    for cmd, interpret in probes:
+        if shutil.which(cmd[0]) is None:
+            continue
+        try:
+            r = subprocess.run(cmd, capture_output=True, text=True,
+                               timeout=10)
+        except Exception:
+            continue
+        if r.returncode == 0:
+            return f"{cmd[0]}: {interpret(r.stdout)}"
+        failed.append(cmd[0])  # e.g. timedatectl without systemd
+    if failed:
+        return f"probe failed ({', '.join(failed)})"
+    return "unavailable (no timedatectl/chronyc/ntpdate)"
+
+
 def cmd_setup(args):
     from radio_mapper_tpu.config.autodetect import auto_detect_interfaces
     from radio_mapper_tpu.config.loader import generate_example_yaml
+    from radio_mapper_tpu.config.schema import TimingConfig
 
     report = auto_detect_interfaces()
     print("Detected interfaces:")
     for k, v in report.items():
         print(f"  {k}: {v}")
+    # timing self-test (`run.py:204-220` parity): GPS hardware feeds the
+    # sub-µs path; the host clock is the fallback the ntp check covers
+    timing = TimingConfig()
+    print("Time synchronization:")
+    print(f"  method: {timing.method} "
+          f"(target {timing.target_accuracy_microseconds:g} us, "
+          f"max {timing.max_acceptable_microseconds:g} us)")
+    print(f"  host clock: {_check_time_sync()}")
     generate_example_yaml(args.output)
     print(f"example config written to {args.output}")
 

@@ -71,6 +71,22 @@ def test_cli_simulate_and_test(tmp_path):
     assert err_m < 100.0
 
 
+def test_cli_setup_reports_timing(tmp_path, capsys):
+    """`setup` parity with the reference's env self-test (`run.py:204-220`):
+    interface detection + a timing-sync section that degrades gracefully
+    on hosts without systemd/chrony/ntpdate."""
+    from radio_mapper_tpu.cli import main
+
+    out_yaml = tmp_path / "cfg.yaml"
+    main(["setup", "--output", str(out_yaml)])
+    out = capsys.readouterr().out
+    assert "Detected interfaces:" in out
+    assert "Time synchronization:" in out
+    assert "method: gps (target 1 us, max 100 us)" in out
+    assert "host clock:" in out
+    assert out_yaml.exists()
+
+
 def test_cli_capture_sim_and_analyze(tmp_path):
     env = dict(os.environ)
     out_bin = tmp_path / "c.bin"
