@@ -367,6 +367,18 @@ def test_eeprom_bounds():
         dev.write_eeprom(b"\x00" * 10, offset=250)
 
 
+def test_cli_usbprobe_smoke(capsys):
+    """The usbprobe subcommand drives the full bring-up and reports a
+    clean counter test for any tuner choice."""
+    from radio_mapper_tpu.cli import main
+
+    main(["usbprobe", "--tuner", "r828d", "--freq", "1090e6"])
+    out = capsys.readouterr().out
+    assert "tuner: R828D" in out
+    assert "0 lost, 0 gaps" in out
+    assert "LO error" in out
+
+
 # --- bus enumeration + device search (`librtlsdr.c:1275-1404`,
 # --- `convenience.c:244-303`) -----------------------------------------------
 
