@@ -737,6 +737,9 @@ def _check_time_sync() -> str:
             r = subprocess.run(cmd, capture_output=True, text=True,
                                timeout=10)
         except Exception:
+            # a timeout/exec failure is still a failed probe of a tool
+            # that EXISTS — report it, don't claim the tool is absent
+            failed.append(cmd[0])
             continue
         if r.returncode == 0:
             return f"{cmd[0]}: {interpret(r.stdout)}"

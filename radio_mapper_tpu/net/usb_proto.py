@@ -825,16 +825,19 @@ def device_search(bus: UsbBus, spec: str) -> int:
     surrounding whitespace; zero-padded strings fall through to the
     serial matchers, which is what the user meant.
     """
+    import re as _re
+
     dongles = _enumerate_dongles(bus)
     if not dongles:
         return -1
     serials = [d.serial for _, d in dongles]
-    try:
-        index = int(spec, 0) if spec.strip() == spec else -1
-    except ValueError:
-        index = -1
-    if 0 <= index < len(dongles):
-        return index
+    # exactly a plain decimal (no leading zeros) or 0x hex literal —
+    # int(spec, 0) alone would also take 0b/0o/underscored forms, which
+    # should fall through to the serial matchers like any other string
+    if _re.fullmatch(r"(0|[1-9][0-9]*|0[xX][0-9a-fA-F]+)", spec):
+        index = int(spec, 0)
+        if 0 <= index < len(dongles):
+            return index
     for i, sn in enumerate(serials):
         if sn == spec:
             return i

@@ -71,12 +71,16 @@ def test_cli_simulate_and_test(tmp_path):
     assert err_m < 100.0
 
 
-def test_cli_setup_reports_timing(tmp_path, capsys):
+def test_cli_setup_reports_timing(tmp_path, capsys, monkeypatch):
     """`setup` parity with the reference's env self-test (`run.py:204-220`):
-    interface detection + a timing-sync section that degrades gracefully
-    on hosts without systemd/chrony/ntpdate."""
+    interface detection + a timing-sync section. The host probe is
+    stubbed out — it may spawn subprocesses / touch the network, and the
+    suite must stay hermetic (CLAUDE.md conventions)."""
+    import radio_mapper_tpu.cli as cli_mod
     from radio_mapper_tpu.cli import main
 
+    monkeypatch.setattr(cli_mod, "_check_time_sync",
+                        lambda: "stub: synchronized")
     out_yaml = tmp_path / "cfg.yaml"
     main(["setup", "--output", str(out_yaml)])
     out = capsys.readouterr().out

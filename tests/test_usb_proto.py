@@ -24,9 +24,8 @@ from radio_mapper_tpu.net.rtl2832u_model import MockRtlUsbTransport
 from radio_mapper_tpu.tools.eeprom import (
     DEFAULT_CONFIGS, generate_image, parse_image,
 )
+from radio_mapper_tpu.net.usb_proto import EEPROM_SIZE as EEPROM_SIZE_BYTES
 from radio_mapper_tpu.tools.sdr_test import DropStats
-
-EEPROM_SIZE_BYTES = 256
 
 
 def open_dev(tuner=TunerType.R820T, **kw):
@@ -452,7 +451,10 @@ def test_device_search_zero_padded_serial_is_not_an_index():
                      "00000002", True, False, True)))
     assert up.device_search(bus, "00000001") == 0   # serial, not octal 1
     assert up.device_search(bus, "1") == 1          # plain index still works
+    assert up.device_search(bus, "0x1") == 1        # hex literal too
     assert up.device_search(bus, " 1") == -1        # whitespace is no index
+    assert up.device_search(bus, "0b1") == -1       # 0b/0o/underscore forms
+    assert up.device_search(bus, "0_1") == -1       # are serials, not indices
 
 
 def test_mock_bus_rejects_negative_and_out_of_range_slots():

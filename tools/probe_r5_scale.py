@@ -8,7 +8,7 @@ Part 1 — config-5 per-shard program (BASELINE configs[4]): the EXACT
 256/N-channel share a single chip of an N-chip slice would own. Shares
 measured: 16 ch (v5p-16 / 16-chip slice) and 32 ch (8-chip slice).
 Real-time bar: the step consumes `samples` wide samples per channel —
-budget = samples / 2.4 MHz. scan-8 amortizes the dispatch floor the same
+budget = samples / 2.4 MHz. scan-32 (default since late r5; scan-8 for EP-256) amortizes the dispatch floor the same
 way the production stream would.
 
 Part 2 — EP at 256 receivers → 32,640 pairs (4× the config-4 count, the
