@@ -260,3 +260,45 @@ class RtlSdrProcessSource(IQSource):
                 except subprocess.TimeoutExpired:
                     self._proc.kill()
                 self._proc = None
+
+
+class Rtl2832uSource(IQSource):
+    """IQ from an in-process :class:`~radio_mapper_tpu.net.usb_proto.
+    Rtl2832u` driver — the L0-closed source.
+
+    `RtlSdrProcessSource` and `RtlTcpSource` delegate the USB layer to
+    external binaries; this source drives our own driver stack instead
+    (`rtlsdr_read_sync` semantics, `Code/src/librtlsdr.c:1643-1659`),
+    over whatever transport the driver was opened on: the register-level
+    device model in CI (`net/rtl2832u_model.py`), a libusb adapter on
+    real hardware. Tuning goes through the real register/PLL planning
+    path, so the achieved (quantized) rate and LO are what the stream
+    geometry uses. Decode is raw-count scale (power_offset_db = 0), like
+    every other uint8 source.
+    """
+
+    def __init__(self, dev, *, sample_rate_hz: float = 2_048_000.0,
+                 center_frequency_hz: float = 121.5e6):
+        self.dev = dev
+        self.sample_rate_hz = float(dev.set_sample_rate(int(sample_rate_hz)))
+        self._achieved_lo_hz = float(dev.set_center_freq(int(center_frequency_hz)))
+        self.center_frequency_hz = float(center_frequency_hz)
+        self.power_offset_db = 0.0
+
+    @property
+    def achieved_lo_hz(self) -> float:
+        """PLL-quantized LO actually programmed (the frequency-offset
+        budget input for coherent correlation)."""
+        return self._achieved_lo_hz
+
+    def read(self, num_samples: int) -> np.ndarray:
+        raw = np.frombuffer(self.dev.read_sync(2 * num_samples), np.uint8)
+        return iq_ops.decode_uint8_iq_numpy(raw).astype(np.complex64)
+
+    def tune(self, center_frequency_hz: float) -> None:
+        super().tune(center_frequency_hz)
+        self._achieved_lo_hz = float(
+            self.dev.set_center_freq(int(center_frequency_hz)))
+
+    def close(self) -> None:
+        self.dev.close()

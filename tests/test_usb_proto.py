@@ -366,6 +366,40 @@ def test_eeprom_bounds():
         dev.write_eeprom(b"\x00" * 10, offset=250)
 
 
+def test_l0_to_l1_chain_dongle_to_rtl_tcp_wire():
+    """Full L0→L1 integration: modeled dongle in counter test mode →
+    Rtl2832u driver → Rtl2832uSource decode → RtlTcpServer uint8
+    re-encode → stock rtl_tcp client — the 8-bit ramp must survive the
+    whole stack byte-exact (encode∘decode is the identity on counts),
+    so the rtl_test drop criterion holds end-to-end."""
+    from radio_mapper_tpu.ingest.sources import Rtl2832uSource
+    from radio_mapper_tpu.net import rtl_tcp
+
+    t = MockRtlUsbTransport(TunerType.R820T)
+    dev = Rtl2832u(t)
+    dev.open()
+    src = Rtl2832uSource(dev, sample_rate_hz=2_048_000,
+                         center_frequency_hz=121_500_000)
+    assert abs(src.achieved_lo_hz - 121_500_000) < 1_000
+    dev.set_testmode(True)
+    server = rtl_tcp.RtlTcpServer(src, host="127.0.0.1", port=18849,
+                                  throttle=False)
+    rtl_tcp.serve_in_thread(server)
+    client = rtl_tcp.RtlTcpClient("127.0.0.1", 18849)
+    try:
+        stats = DropStats()
+        for _ in range(4):
+            iq = client.read_iq(4096)
+            # re-encode the wire payload back to counts: identical ramp
+            from radio_mapper_tpu.ops import iq as iq_ops
+
+            stats.update(iq_ops.encode_uint8_iq_numpy(np.asarray(iq)))
+        assert stats.total_bytes == 4 * 2 * 4096
+        assert stats.lost_bytes == 0 and stats.gaps == 0
+    finally:
+        client.close()
+
+
 def test_cli_usbprobe_smoke(capsys):
     """The usbprobe subcommand drives the full bring-up and reports a
     clean counter test for any tuner choice."""
