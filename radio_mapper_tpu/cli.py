@@ -251,6 +251,25 @@ def cmd_capture(args):
         except FileNotFoundError:
             print("rtl_sdr binary not found — use --source sim for synthetic capture")
             sys.exit(1)
+    elif args.source == "usbmodel":
+        # capture through the full L0 driver stack against the modeled
+        # dongle: open/probe/tune ride the real register/PLL path
+        from radio_mapper_tpu.ingest.sources import Rtl2832uSource
+        from radio_mapper_tpu.net.rtl2832u_model import MockRtlUsbTransport
+        from radio_mapper_tpu.net.usb_proto import Rtl2832u
+        from radio_mapper_tpu.ops import iq as iq_ops
+
+        dev = Rtl2832u(MockRtlUsbTransport())
+        dev.open()
+        src = Rtl2832uSource(
+            dev, sample_rate_hz=args.sample_rate,
+            center_frequency_hz=args.frequency * 1e6)
+        data = src.read(args.samples)
+        src.close()
+        iq_ops.save_iq_bin(out, data)
+        print(f"wrote {args.samples} samples via the L0 driver stack to "
+              f"{out} (achieved LO {src.achieved_lo_hz:.1f} Hz, "
+              f"rate {src.sample_rate_hz:.3f} Hz)")
     else:
         from radio_mapper_tpu import sim
         from radio_mapper_tpu.ingest import SimulatedSource
@@ -903,7 +922,8 @@ def build_parser() -> argparse.ArgumentParser:
     s.set_defaults(fn=cmd_analyze)
 
     s = sub.add_parser("capture", help="capture IQ to .bin")
-    s.add_argument("--source", choices=["rtl_sdr", "sim"], default="rtl_sdr")
+    s.add_argument("--source", choices=["rtl_sdr", "sim", "usbmodel"],
+                   default="rtl_sdr")
     s.add_argument("--frequency", type=float, default=121.5, help="MHz")
     s.add_argument("--sample-rate", type=float, default=2_048_000.0)
     s.add_argument("--samples", type=int, default=2_048_000)
