@@ -109,6 +109,17 @@ def cmd_buoy(args):
         node = BuoyNode(cfg, source=NativeRingSource(
             NativeIngest.open_tcp(host, int(port or 1234)),
             sample_rate_hz=args.sample_rate))
+    elif args.source == "usbmodel":
+        # live node on the in-process L0 driver stack (device model —
+        # swap the transport for a libusb adapter on real hardware)
+        from radio_mapper_tpu.ingest.sources import Rtl2832uSource
+        from radio_mapper_tpu.net.rtl2832u_model import MockRtlUsbTransport
+        from radio_mapper_tpu.net.usb_proto import Rtl2832u
+
+        dev = Rtl2832u(MockRtlUsbTransport())
+        dev.open()
+        node = BuoyNode(cfg, source=Rtl2832uSource(
+            dev, sample_rate_hz=args.sample_rate))
     else:  # rtl_sdr subprocess
         from radio_mapper_tpu.ingest import RtlSdrProcessSource
 
@@ -862,9 +873,11 @@ def build_parser() -> argparse.ArgumentParser:
     s.add_argument("--central", default="ws://localhost:8081")
     s.add_argument(
         "--source",
-        choices=["sim", "file", "rtl_sdr", "rtl_tcp", "native-file", "native-tcp"],
+        choices=["sim", "file", "rtl_sdr", "rtl_tcp", "native-file",
+                 "native-tcp", "usbmodel"],
         default="sim",
-        help="native-* variants ingest through the C++ ring (native/)",
+        help="native-* variants ingest through the C++ ring (native/); "
+             "usbmodel runs the in-process L0 driver stack",
     )
     s.add_argument("--sim-index", type=int, default=0)
     s.add_argument("--file", help="raw uint8 I/Q .bin for --source file")
