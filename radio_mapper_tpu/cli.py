@@ -708,6 +708,8 @@ def cmd_test(args):
     print("Compute:")
     check("jax devices", lambda: __import__("jax").devices())
     check("pipeline smoke (tiny)", lambda: _pipeline_smoke())
+    print("L0 driver stack:")
+    check("USB bring-up + counter test (device model)", lambda: _l0_smoke())
     print("Hardware:")
     from radio_mapper_tpu.config.autodetect import auto_detect_interfaces
 
@@ -740,6 +742,28 @@ def _pipeline_smoke():
     out = pipe.jit_step()(iq, anchors)
     assert np.all(np.isfinite(np.asarray(out.fix.position_enu)))
     return "ok"
+
+
+def _l0_smoke() -> str:
+    """Open→probe→tune→counter-stream through the full USB driver
+    protocol against the register-level device model (the reference's
+    `rtl_test -t` drop check, hardware-free)."""
+    import numpy as np
+
+    from radio_mapper_tpu.net.rtl2832u_model import MockRtlUsbTransport
+    from radio_mapper_tpu.net.usb_proto import Rtl2832u, TunerType
+    from radio_mapper_tpu.tools.sdr_test import DropStats
+
+    dev = Rtl2832u(MockRtlUsbTransport())
+    found = dev.open()
+    assert found == TunerType.R820T
+    rate = dev.set_sample_rate(2_048_000)
+    dev.set_testmode(True)
+    stats = DropStats()
+    stats.update(np.frombuffer(dev.read_sync(16384), np.uint8))
+    dev.close()
+    assert stats.lost_bytes == 0 and stats.gaps == 0
+    return f"{found.name} @ {rate:.0f} Hz, 0 dropped"
 
 
 def _check_time_sync() -> str:

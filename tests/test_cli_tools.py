@@ -71,6 +71,25 @@ def test_cli_simulate_and_test(tmp_path):
     assert err_m < 100.0
 
 
+def test_cli_env_selftest_passes():
+    """`test` subcommand (`run.py:246-320` parity) exits 0 here and
+    covers config, deps, a tiny pipeline smoke, and the L0 driver
+    bring-up against the device model."""
+    env = dict(os.environ)
+    code = (
+        "import jax; jax.config.update('jax_platforms','cpu');"
+        "from radio_mapper_tpu.cli import main;"
+        "main(['test'])"
+    )
+    out = subprocess.run(
+        [sys.executable, "-c", code], capture_output=True, text=True,
+        timeout=300, env=env,
+    )
+    assert out.returncode == 0, out.stdout[-2000:] + out.stderr[-500:]
+    assert "[PASS] USB bring-up + counter test (device model)" in out.stdout
+    assert "[FAIL]" not in out.stdout
+
+
 def test_cli_setup_reports_timing(tmp_path, capsys, monkeypatch):
     """`setup` parity with the reference's env self-test (`run.py:204-220`):
     interface detection + a timing-sync section. The host probe is
