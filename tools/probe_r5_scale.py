@@ -106,7 +106,7 @@ def config5_shard(channels_share: int, scan: int = 32):
     return dt
 
 
-def ep_256(scan: int = 8):  # 23.7 ms blocks: floor <1.3%, depth is a non-lever here
+def ep_256(scan: int = 8):  # 23.7 ms blocks: scan-16 measured +1.5% (ab_r5_ep256_scan) — floor share, as predicted
     import jax
     import jax.numpy as jnp
     from jax.sharding import Mesh
