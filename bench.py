@@ -268,7 +268,7 @@ def run_fft_microbench(*, rows: int = 256, n: int = 16_384, iters: int = 50) -> 
 
 def run_gcc_microbench(
     *, channels: int = 32, num_buoys: int = 8, n: int = 16_384, max_lag: int = 512,
-    iters: int = 50, scan_blocks: int = 32,
+    iters: int = 50, scan_blocks: int = 64,
 ) -> float:
     """All-pairs GCC-PHAT throughput (pair correlations/s).
 
@@ -280,7 +280,9 @@ def run_gcc_microbench(
     microbenches' ~1-1.6 ms blocks still carried 11-27% dispatch floor
     at scan-8 — scan-32 won both interleaved rounds, gcc 781/799 → 938/
     945 k, EP 1143/1149 → 1415/1409 k pairs/s (probe_r5_pairs_scan);
-    stacks are 1 GB / 64 MB, far from the flagship's 8.6 GB cap."""
+    64 then won all four 32-vs-64 pairings too (gcc 972/973 vs 939/943,
+    EP 1452/1490 vs 1413/1439 k; ab_r5_pairs_scan64) — adopted; 128 not
+    chased (gcc stack would hit 4.3 GB for a ≤2% residual floor)."""
     import functools
 
     import jax
@@ -317,7 +319,7 @@ def run_gcc_microbench(
 
 def run_ep_microbench(
     *, num_buoys: int = 64, block_len: int = 4096, max_lag: int = 256,
-    iters: int = 20, scan_blocks: int = 32,
+    iters: int = 20, scan_blocks: int = 64,
 ) -> float:
     """Pair-EP step throughput: 64 receivers → 2016 pairs on a 1-device
     "pair" mesh (the EP program bench VERDICT r2 item 8 asked for; the
