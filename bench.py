@@ -630,7 +630,7 @@ def main():
         _log(f"fft microbench failed: {e}")
     try:
         gcc_rate = run_gcc_microbench()
-        _log(f"gcc microbench: {gcc_rate:.0f} pair correlations/s (scan-8 amortized)")
+        _log(f"gcc microbench: {gcc_rate:.0f} pair correlations/s (scan-64 amortized)")
     except Exception as e:
         _log(f"gcc microbench failed: {e}")
 
@@ -639,7 +639,7 @@ def main():
         ep_rate = run_ep_microbench()
         _log(
             f"ep microbench: {ep_rate:.0f} EP pairs/s "
-            "(64 buoys / 2016 pairs, scan-8 amortized)"
+            "(64 buoys / 2016 pairs, scan-64 amortized)"
         )
     except Exception as e:
         _log(f"ep microbench failed: {e}")
