@@ -369,7 +369,7 @@ def run_ep_microbench(
     return len(pi) / dt
 
 
-def run_wideband_bench(*, iters: int = 10, scan_blocks: int = 32):
+def run_wideband_bench(*, iters: int = 10, scan_blocks: int = 64):
     """BASELINE config 4 for real: 64 buoys × 10 MS/s wideband → 16-way
     polyphase channelizer → per-subchannel all-pairs GCC-PHAT (2016
     pairs) → LM solve, one chip, one jitted program (VERDICT r3 item 3).
@@ -377,10 +377,10 @@ def run_wideband_bench(*, iters: int = 10, scan_blocks: int = 32):
     flagship; A/B'd r5: 11.4 → 9.1 ms/block at scan-4, ab_r5_wideband2;
     the late-r5 depth ladder won every interleaved pairing — scan-8 7.78-
     8.17 vs scan-4 8.29-8.65, scan-16 7.58-7.59 vs scan-8 7.88-8.00,
-    scan-32 7.42-7.44 vs scan-16 7.58-7.64 ms/block (probe_r5_wb_scan8 +
-    ab_r5_wb_scan{16,32}) — the 33 MB/block input stack makes depth
-    cheap; 32 matches the flagship standard and 64 was not chased (the
-    16→32 gain is already ~2%, inside tunnel-jitter territory).
+    scan-32 7.42-7.44 vs scan-16 7.58-7.64, scan-64 7.38/7.39 vs
+    scan-32 7.45/7.49 ms/block (probe_r5_wb_scan8 + ab_r5_wb_scan{16,32}
+    + ab_r5_wb_scan64) — the 33 MB/block input stack makes depth cheap;
+    the ladder closes at 64 (569 wide MS/s; gains now ~1%/step).
     Returns (ms_per_block, wide_samples_per_s, pairs_per_s)."""
     import jax
     import jax.numpy as jnp
