@@ -577,14 +577,18 @@ def main():
     # K=8 6.98 → K=16 6.51 ms/block at 128 ch (probe_ab_tuning_r4,
     # probe_ab_depth_rows). K=16 input stacks stay ≲4.3 GB at 256 ch.
     # scan-32 A/B'd r5: 5.24 (s16) → 5.04 ms/block (docs/probe_logs/
-    # ab_r5_fuse.log); input stacks stay ≲8.6 GB at 256 ch (on-device
-    # broadcast, one block over the link).
-    scan_k = int(os.environ.get("BENCH_SCAN_BLOCKS", "32"))
+    # ab_r5_fuse.log); scan-64 A/B'd late r5 at 128 ch: 4.81-4.87 →
+    # 4.72 ms/block both interleaved rounds (ab_r5_flag64.log) — the
+    # 8.6 GB depth-64 stack fits at ≤128 ch (the 256-ch scan-16 program
+    # proves that stack size + workspace), 256 ch keeps its cap.
+    scan_k = int(os.environ.get("BENCH_SCAN_BLOCKS", "64"))
     best = {"rate": 0.0}
     for ch in (64, 128, 256):
         # 256 ch × scan-32 input stacks are ~8.6 GB of f32 planes —
-        # uncomfortably near the 16 GB HBM with workspace; cap at 16.
-        ch_scan = min(scan_k, 16) if ch >= 256 else scan_k
+        # uncomfortably near the 16 GB HBM with workspace; cap at 16
+        # (and 128 ch × scan-128 would be the same: cap depth so the
+        # input stack stays ≤8.6 GB).
+        ch_scan = min(scan_k, 16) if ch >= 256 else min(scan_k, 64)
         try:
             path, step, args, flops = build_pipeline_step(
                 num_channels=ch, scan_blocks=ch_scan
