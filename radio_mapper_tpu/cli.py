@@ -70,12 +70,16 @@ def cmd_buoy(args):
     from radio_mapper_tpu import sim
     from radio_mapper_tpu.runtime.buoy import BuoyNode, BuoyNodeConfig, simulated_buoy
 
+    # the detector's bin->Hz mapping and the iq_sample_rate_hz reported
+    # to central must match the SOURCE's rate, not the config default
+    # (sim sources set it from the scenario below)
     cfg = BuoyNodeConfig(
         buoy_id=args.id,
         central_ws_url=args.central,
         development_mode=args.dev,
         iq_wire_format=args.iq_wire_format,
         iq_snippet_samples=args.snippet_samples,
+        sample_rate_hz=args.sample_rate,
     )
     if args.source == "sim":
         scen = sim.default_scenario(signal="noise", bandwidth_hz=50e3)
@@ -113,13 +117,14 @@ def cmd_buoy(args):
         # live node on the in-process L0 driver stack (device model —
         # swap the transport for a libusb adapter on real hardware)
         from radio_mapper_tpu.ingest.sources import Rtl2832uSource
-        from radio_mapper_tpu.net.rtl2832u_model import MockRtlUsbTransport
-        from radio_mapper_tpu.net.usb_proto import Rtl2832u
+        from radio_mapper_tpu.net.rtl2832u_model import open_model_device
 
-        dev = Rtl2832u(MockRtlUsbTransport())
-        dev.open()
-        node = BuoyNode(cfg, source=Rtl2832uSource(
-            dev, sample_rate_hz=args.sample_rate))
+        src = Rtl2832uSource(open_model_device(),
+                             sample_rate_hz=args.sample_rate)
+        # the dongle resampler QUANTIZES the rate — the node must use
+        # the achieved value, not the request
+        cfg = dataclasses.replace(cfg, sample_rate_hz=src.sample_rate_hz)
+        node = BuoyNode(cfg, source=src)
     else:  # rtl_sdr subprocess
         from radio_mapper_tpu.ingest import RtlSdrProcessSource
 
@@ -266,14 +271,11 @@ def cmd_capture(args):
         # capture through the full L0 driver stack against the modeled
         # dongle: open/probe/tune ride the real register/PLL path
         from radio_mapper_tpu.ingest.sources import Rtl2832uSource
-        from radio_mapper_tpu.net.rtl2832u_model import MockRtlUsbTransport
-        from radio_mapper_tpu.net.usb_proto import Rtl2832u
+        from radio_mapper_tpu.net.rtl2832u_model import open_model_device
         from radio_mapper_tpu.ops import iq as iq_ops
 
-        dev = Rtl2832u(MockRtlUsbTransport())
-        dev.open()
         src = Rtl2832uSource(
-            dev, sample_rate_hz=args.sample_rate,
+            open_model_device(), sample_rate_hz=args.sample_rate,
             center_frequency_hz=args.frequency * 1e6)
         data = src.read(args.samples)
         src.close()
@@ -750,20 +752,19 @@ def _l0_smoke() -> str:
     `rtl_test -t` drop check, hardware-free)."""
     import numpy as np
 
-    from radio_mapper_tpu.net.rtl2832u_model import MockRtlUsbTransport
-    from radio_mapper_tpu.net.usb_proto import Rtl2832u, TunerType
+    from radio_mapper_tpu.net.rtl2832u_model import open_model_device
+    from radio_mapper_tpu.net.usb_proto import TunerType
     from radio_mapper_tpu.tools.sdr_test import DropStats
 
-    dev = Rtl2832u(MockRtlUsbTransport())
-    found = dev.open()
-    assert found == TunerType.R820T
+    dev = open_model_device()
+    assert dev.tuner_type == TunerType.R820T
     rate = dev.set_sample_rate(2_048_000)
     dev.set_testmode(True)
     stats = DropStats()
     stats.update(np.frombuffer(dev.read_sync(16384), np.uint8))
     dev.close()
     assert stats.lost_bytes == 0 and stats.gaps == 0
-    return f"{found.name} @ {rate:.0f} Hz, 0 dropped"
+    return f"{dev.tuner_type.name} @ {rate:.0f} Hz, 0 dropped"
 
 
 def _check_time_sync() -> str:

@@ -280,10 +280,28 @@ class Rtl2832uSource(IQSource):
     def __init__(self, dev, *, sample_rate_hz: float = 2_048_000.0,
                  center_frequency_hz: float = 121.5e6):
         self.dev = dev
-        self.sample_rate_hz = float(dev.set_sample_rate(int(sample_rate_hz)))
+        # one transport, many threads: RtlTcpServer reads in an executor
+        # while its command handler tunes from the event loop — control
+        # and bulk transfers must never interleave mid-operation (same
+        # guard as RtlSdrProcessSource._lock)
+        self._lock = threading.Lock()
+        self._sample_rate_hz = 0.0
+        self.sample_rate_hz = float(sample_rate_hz)  # programs the dongle
         self._achieved_lo_hz = float(dev.set_center_freq(int(center_frequency_hz)))
         self.center_frequency_hz = float(center_frequency_hz)
         self.power_offset_db = 0.0
+
+    @property
+    def sample_rate_hz(self) -> float:
+        """The ACHIEVED (resampler-quantized) rate. Assigning programs
+        the dongle — rtl_tcp's CMD_SET_SAMPLE_RATE handler assigns
+        `source.sample_rate_hz` directly, and the device must follow."""
+        return self._sample_rate_hz
+
+    @sample_rate_hz.setter
+    def sample_rate_hz(self, hz: float) -> None:
+        with self._lock:
+            self._sample_rate_hz = float(self.dev.set_sample_rate(int(hz)))
 
     @property
     def achieved_lo_hz(self) -> float:
@@ -292,13 +310,26 @@ class Rtl2832uSource(IQSource):
         return self._achieved_lo_hz
 
     def read(self, num_samples: int) -> np.ndarray:
-        raw = np.frombuffer(self.dev.read_sync(2 * num_samples), np.uint8)
+        # bulk INs may return short on real hardware (librtlsdr's
+        # read_sync reports n_read for this reason) — loop until filled
+        # so the static-shape jitted consumers always get full blocks
+        need = 2 * num_samples
+        buf = bytearray()
+        with self._lock:
+            while len(buf) < need:
+                chunk = self.dev.read_sync(need - len(buf))
+                if not chunk:
+                    raise IOError("USB bulk stream ended mid-block")
+                buf += chunk
+        raw = np.frombuffer(bytes(buf), np.uint8)
         return iq_ops.decode_uint8_iq_numpy(raw).astype(np.complex64)
 
     def tune(self, center_frequency_hz: float) -> None:
         super().tune(center_frequency_hz)
-        self._achieved_lo_hz = float(
-            self.dev.set_center_freq(int(center_frequency_hz)))
+        with self._lock:
+            self._achieved_lo_hz = float(
+                self.dev.set_center_freq(int(center_frequency_hz)))
 
     def close(self) -> None:
-        self.dev.close()
+        with self._lock:
+            self.dev.close()

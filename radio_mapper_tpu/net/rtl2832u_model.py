@@ -96,6 +96,18 @@ class TunerChip(I2cChip):
         super().write(data)
 
 
+def open_model_device(tuner: TunerType = TunerType.R820T, **transport_kw):
+    """One-call bring-up of a driver on a fresh device model — the
+    shared construction for CLI demos, self-tests, and anything else
+    that needs a ready `Rtl2832u` without hardware. Returns the opened
+    driver (its transport is reachable as ``dev.t``)."""
+    from .usb_proto import Rtl2832u
+
+    dev = Rtl2832u(MockRtlUsbTransport(tuner, **transport_kw))
+    dev.open()
+    return dev
+
+
 def make_tuner_chip(tuner: TunerType) -> TunerChip:
     """Build a chip whose id register answers the probe for `tuner`."""
     for p in TUNER_PROBES_PRE_RESET + TUNER_PROBES_POST_RESET:

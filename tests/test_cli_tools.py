@@ -75,7 +75,6 @@ def test_cli_env_selftest_passes():
     """`test` subcommand (`run.py:246-320` parity) exits 0 here and
     covers config, deps, a tiny pipeline smoke, and the L0 driver
     bring-up against the device model."""
-    env = dict(os.environ)
     code = (
         "import jax; jax.config.update('jax_platforms','cpu');"
         "from radio_mapper_tpu.cli import main;"
@@ -83,7 +82,7 @@ def test_cli_env_selftest_passes():
     )
     out = subprocess.run(
         [sys.executable, "-c", code], capture_output=True, text=True,
-        timeout=300, env=env,
+        timeout=300,
     )
     assert out.returncode == 0, out.stdout[-2000:] + out.stderr[-500:]
     assert "[PASS] USB bring-up + counter test (device model)" in out.stdout

@@ -375,9 +375,7 @@ def test_l0_to_l1_chain_dongle_to_rtl_tcp_wire():
     from radio_mapper_tpu.ingest.sources import Rtl2832uSource
     from radio_mapper_tpu.net import rtl_tcp
 
-    t = MockRtlUsbTransport(TunerType.R820T)
-    dev = Rtl2832u(t)
-    dev.open()
+    _, dev = open_dev(TunerType.R820T)
     src = Rtl2832uSource(dev, sample_rate_hz=2_048_000,
                          center_frequency_hz=121_500_000)
     assert abs(src.achieved_lo_hz - 121_500_000) < 1_000
@@ -398,6 +396,22 @@ def test_l0_to_l1_chain_dongle_to_rtl_tcp_wire():
         assert stats.lost_bytes == 0 and stats.gaps == 0
     finally:
         client.close()
+
+
+def test_rtl2832u_source_rate_assignment_programs_dongle():
+    """rtl_tcp's CMD_SET_SAMPLE_RATE handler assigns
+    `source.sample_rate_hz` directly — the property setter must program
+    the dongle resampler and store the ACHIEVED (quantized) rate."""
+    from radio_mapper_tpu.ingest.sources import Rtl2832uSource
+    from radio_mapper_tpu.net import tuner_plan
+
+    _, dev = open_dev(TunerType.R820T)
+    src = Rtl2832uSource(dev, sample_rate_hz=2_048_000)
+    assert dev.rate_hz == 2_048_000
+    src.sample_rate_hz = 1_000_000  # quantizes (28.8e6*2^22/1e6 fractional)
+    plan = tuner_plan.plan_sample_rate(1_000_000)
+    assert src.sample_rate_hz == plan.real_rate_hz != 1_000_000
+    assert dev.rate_hz == int(plan.real_rate_hz)
 
 
 def test_cli_usbprobe_smoke(capsys):
