@@ -51,6 +51,8 @@ def test_precision_policies():
 
 
 def test_bench_scan_default():
+    # depth-64 adopted late r5 (ab_r5_flag64: 4.81-4.87 -> 4.72 ms/block
+    # both interleaved rounds; stacks clamped <=8.6 GB per channel count)
     src = (REPO / "bench.py").read_text()
     m = re.search(r'BENCH_SCAN_BLOCKS", "(\d+)"', src)
-    assert m and m.group(1) == "32", m
+    assert m and m.group(1) == "64", m
